@@ -1,0 +1,169 @@
+"""Command-line interface, flag-compatible with the reference
+(src/options.cpp:13-290 — exact spellings, including `--true-signal-file`,
+`--pval-method`, `--alpha-scale`, `--learn-prior-delay`).
+
+One unified driver covers both models (the reference's separate probit
+binary, src/main_meth_probit.cpp, is stale — SURVEY Q2): select the probit
+path with `--model bin_class`.  Run modes: infere | test | association_test |
+predict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .config import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vampomi_tpu",
+        description="TPU-native gVAMP for omics-scale Bayesian regression",
+    )
+    s = p.add_argument_group("files")
+    s.add_argument("--meth-file", default="")
+    s.add_argument("--meth-file-test", default="")
+    s.add_argument("--phen-file", default="")
+    s.add_argument("--phen-file-test", default="")
+    s.add_argument("--true-signal-file", default="")
+    s.add_argument("--estimate-file", default="")
+    s.add_argument("--r1-file", default="")
+    s.add_argument("--cov-estimate-file", default="")
+    s.add_argument("--cov-file", default="")
+    s.add_argument("--cov-file-test", default="")
+    s.add_argument("--out-dir", default="")
+    s.add_argument("--out-name", default="")
+
+    m = p.add_argument_group("mode")
+    m.add_argument("--run-mode", default="infere",
+                   choices=["infere", "test", "association_test", "predict"])
+    m.add_argument("--model", default="linear", choices=["linear", "bin_class"])
+    m.add_argument("--pval-method", default="se", choices=["se", "loo"])
+
+    d = p.add_argument_group("dimensions")
+    d.add_argument("--Mt", type=int, default=0)
+    d.add_argument("--N", type=int, default=0)
+    d.add_argument("--N-test", type=int, default=0)
+    d.add_argument("--Mt-test", type=int, default=0)
+    d.add_argument("--C", type=int, default=0)
+
+    h = p.add_argument_group("hyperparameters")
+    h.add_argument("--iterations", type=int, default=50)
+    h.add_argument("--stop-criteria-thr", type=float, default=0.01)
+    h.add_argument("--merge-vars-thr", type=float, default=5e-1)
+    h.add_argument("--EM-err-thr", type=float, default=1e-2)
+    h.add_argument("--EM-max-iter", type=int, default=1)
+    h.add_argument("--CG-max-iter", type=int, default=500)
+    h.add_argument("--CG-err-tol", type=float, default=1e-5)
+    h.add_argument("--num-mix-comp", type=int, default=10)
+    h.add_argument("--learn-vars", type=int, default=1)
+    h.add_argument("--learn-prior-delay", type=int, default=1)
+    h.add_argument("--alpha-scale", type=float, default=1.0)
+    h.add_argument("--probit-var", type=float, default=1.0)
+    h.add_argument("--rho", type=float, default=0.5)
+    h.add_argument("--h2", type=float, default=0.5)
+    h.add_argument("--gam1", type=float, default=1e-6)
+    h.add_argument("--verbosity", type=int, default=0)
+    h.add_argument("--redglob", type=int, default=0)
+    h.add_argument("--vars", type=str, default="")
+    h.add_argument("--probs", type=str, default="")
+    h.add_argument("--test-iter-range", type=str, default="")
+
+    x = p.add_argument_group("TPU-native extensions")
+    x.add_argument("--compute-dtype", default="auto",
+                   choices=["auto", "float64", "float32", "bfloat16", "f64", "f32", "bf16"])
+    x.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def parse_config(argv: list[str]) -> RunConfig:
+    args = build_parser().parse_args(argv)
+    cfg = RunConfig()
+    for f in vars(args):
+        key = f  # argparse already converted dashes to underscores
+        if key in ("vars", "probs", "test_iter_range"):
+            continue
+        setattr(cfg, key, getattr(args, f))
+    if args.vars:
+        cfg.vars = [float(v) for v in args.vars.split(",")]
+    if args.probs:
+        cfg.probs = [float(v) for v in args.probs.split(",")]
+    if args.test_iter_range:
+        cfg.test_iter_range = [int(v) for v in args.test_iter_range.split(",")]
+    cfg.check()
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    cfg = parse_config(sys.argv[1:] if argv is None else argv)
+
+    from .dataset import load_dataset
+    from .io.bin_io import read_bin_slab
+    from .sharding import make_mesh
+
+    mesh = make_mesh()
+    dtype = cfg.resolved_compute_dtype()
+
+    if cfg.run_mode == "infere":
+        ds = load_dataset(
+            cfg.meth_file, cfg.phen_file, cfg.N, cfg.Mt, cfg.model, mesh, dtype,
+            alpha_scale=cfg.alpha_scale, cov_file=cfg.cov_file, c=cfg.C,
+        )
+        true_signal = (
+            read_bin_slab(cfg.true_signal_file, cfg.Mt)
+            if cfg.true_signal_file else None
+        )
+        x1hat_init = (
+            read_bin_slab(cfg.estimate_file, cfg.Mt) if cfg.estimate_file else None
+        )
+        if cfg.model == "bin_class":
+            from .engine.probit import infere_bin_class
+
+            infere_bin_class(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
+                             covariates=ds.covariates)
+        else:
+            from .engine.linear import infere_linear
+
+            infere_linear(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
+                          covariates=ds.covariates)
+
+    elif cfg.run_mode == "test":
+        ds = load_dataset(
+            cfg.meth_file_test, cfg.phen_file_test, cfg.N_test, cfg.Mt,
+            cfg.model, mesh, dtype, alpha_scale=cfg.alpha_scale,
+        )
+        if cfg.model == "bin_class":
+            from .modes.test_mode import run_test_probit
+
+            run_test_probit(ds, cfg)
+        else:
+            from .modes.test_mode import run_test_linear
+
+            run_test_linear(ds, cfg)
+
+    elif cfg.run_mode == "association_test":
+        ds = load_dataset(
+            cfg.meth_file, cfg.phen_file, cfg.N, cfg.Mt, cfg.model, mesh, dtype,
+            alpha_scale=cfg.alpha_scale,
+        )
+        from .modes.association import run_association_test
+
+        run_association_test(ds, cfg)
+
+    elif cfg.run_mode == "predict":
+        ds = load_dataset(
+            cfg.meth_file_test, cfg.phen_file_test, cfg.N_test, cfg.Mt,
+            cfg.model, mesh, dtype, alpha_scale=cfg.alpha_scale,
+        )
+        from .modes.predict import run_predict
+
+        run_predict(ds, cfg)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Dataset assembly: file slabs → mesh-sharded DesignMatrix + phenotype.
+
+The reference's `data` class couples file reading, standardization
+statistics and the matvec (src/data.cpp:24-47).  Here loading is host-side
+numpy (per-host slab reads of the shared marker-major `.bin`), and the
+operator lives in ops/operator.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .config import RunConfig
+from .io.bin_io import read_meth_bin
+from .io.phen import Phenotype, read_covariates, read_phen
+from .ops.operator import DesignMatrix, build_design
+from .sharding import divide_work, pad_to_multiple
+
+
+class Dataset(NamedTuple):
+    dm: DesignMatrix
+    phen: Phenotype
+    covariates: np.ndarray | None
+
+
+def load_dataset(
+    meth_file: str,
+    phen_file: str,
+    n: int,
+    mt: int,
+    model: str,
+    mesh: Mesh | None,
+    compute_dtype,
+    alpha_scale: float = 1.0,
+    cov_file: str = "",
+    c: int = 0,
+) -> Dataset:
+    """Load a (train or test) dataset.
+
+    Single-process: reads the full (Mt, N) matrix.  Multi-host: each process
+    reads only the marker rows covering its addressable shards of the padded
+    global array — the analog of the reference's per-rank slab read at offset
+    S·N·8 (src/data.cpp:116-153).
+    """
+    standardize = model != "bin_class"  # reference src/data.cpp:40-43
+    phen = read_phen(phen_file, n, standardize=standardize)
+
+    covs = None
+    if c > 0 and cov_file:
+        covs = read_covariates(cov_file, c, n)
+
+    if mesh is None or jax.process_count() == 1:
+        X = read_meth_bin(meth_file, n, mt)
+        dm = build_design(
+            X, mesh=mesh, compute_dtype=compute_dtype,
+            alpha_scale=alpha_scale, mt=mt,
+        )
+        return Dataset(dm=dm, phen=phen, covariates=covs)
+
+    # Multi-host path: equal padded shards per process (contiguous in the
+    # 1-D marker mesh), each host reads only its own rows that exist on disk.
+    n_dev = int(np.prod(mesh.devices.shape))
+    m_pad = pad_to_multiple(mt, n_dev)
+    per_proc = m_pad // jax.process_count()
+    pidx = jax.process_index()
+    lo, hi = pidx * per_proc, (pidx + 1) * per_proc
+    real_hi = min(hi, mt)
+    local = np.zeros((per_proc, n), dtype=np.float64)
+    if lo < mt:
+        local[: real_hi - lo] = read_meth_bin(meth_file, n, real_hi - lo, start_marker=lo)
+    # build_design's single-host path can't be used here; construct shards
+    # via make_array_from_process_local_data inside build_design_multihost.
+    from .ops.operator import build_design_multihost
+
+    dm = build_design_multihost(
+        local, lo, mt, m_pad, n, mesh, compute_dtype, alpha_scale
+    )
+    return Dataset(dm=dm, phen=phen, covariates=covs)
+
+
+def rank_slab(mt: int) -> tuple[int, int]:
+    """(M, S) for this process under reference `divide_work` semantics —
+    used only for byte-offset parity in file IO helpers."""
+    parts = divide_work(mt, max(jax.process_count(), 1))
+    return parts[jax.process_index()]

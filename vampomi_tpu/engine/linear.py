@@ -1,0 +1,346 @@
+"""Linear-model gVAMP driver (reference: `vamp::infere_linear`,
+src/vamp.cpp:110-438).
+
+Structure: a host-driven outer loop (it writes per-iteration artifacts and
+applies the host-side component merge) around two large jitted phases:
+
+  * `_em_phase`      — the EM prior update (reference src/vamp.cpp:531-643)
+  * `_iteration_phase` — denoising + LMMSE + noise-precision update +
+    error measures, fused into one XLA program.  The LMMSE solve and the
+    Onsager trace-probe solve run as a single multi-RHS CG (see ops/cg.py),
+    sharing every HBM pass over the design matrix.
+
+All scalar hyperparameters are traced (passed as f64 arrays), so the phases
+compile exactly once per run.
+
+Scaling conventions (must match the reference to reproduce its numbers):
+  * internal x-vectors carry a sqrt(N) factor (A has 1/sqrt(N) baked in);
+  * saved estimates are divided by sqrt(N) (src/vamp.cpp:237-239);
+  * prior variances were multiplied by N at init (src/vamp.cpp:87-88);
+  * gamma clamps [1e-11, 1e11] (src/vamp.hpp:33-34);
+  * gam1 is damped with rho after the LMMSE step (src/vamp.cpp:346), x1_hat
+    is damped after denoising for it > 1 (src/vamp.cpp:208-211).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..io.bin_io import iteration_file, write_bin_slab
+from ..io.csv_writer import PositionalCSV
+from ..ops.cg import cg_solve
+from ..ops.operator import DesignMatrix, atx, ax
+from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
+from .metrics import prediction_metrics, signal_metrics
+
+GAMMA_MIN = 1e-11  # reference src/vamp.hpp:33
+GAMMA_MAX = 1e11   # reference src/vamp.hpp:34
+
+METRICS_HEADER = [
+    "iteration",
+    "R2 denoising",
+    "x1 correlation denoising",
+    "R2 LMMSE",
+    "x2 correlation LMMSE",
+    "z1 correlation denoising",
+    "z2 correlation LMMSE",
+]
+PARAMS_HEADER = ["iteration", "alpha1", "gam1", "alpha2", "gam2", "gamw"]
+
+
+def _clamp(x):
+    return jnp.minimum(jnp.maximum(x, GAMMA_MIN), GAMMA_MAX)
+
+
+class LinearResult(NamedTuple):
+    x1_hat_scaled: np.ndarray   # (Mt,) estimate in file units (x1_hat/sqrt(N))
+    iterations_run: int
+    gam1: float
+    gamw: float
+    probs: np.ndarray
+    vars: np.ndarray            # internal (×N) scale
+    metrics_history: list
+
+
+@jax.jit
+def _em_phase(dm: DesignMatrix, r1, gam1, prior: MixturePrior,
+              em_max_iter, em_err_thr, learn_vars):
+    return em_update(
+        r1, gam1, prior, dm.mmask, dm.mt,
+        em_max_iter=em_max_iter, em_err_thr=em_err_thr, learn_vars=learn_vars,
+    )
+
+
+@jax.jit
+def _iteration_phase(
+    dm: DesignMatrix,
+    y_adj,            # covariate-adjusted phenotype (CG RHS; src/vamp.cpp:303)
+    y_raw,            # original phenotype (gamw + metrics; src/vamp.cpp:506,817)
+    r1,
+    gam1,
+    prior: MixturePrior,
+    x1_hat_prev,
+    damp,             # bool: apply rho-damping (it > 1)
+    rho,
+    gamw,
+    mu_warm,
+    bern,             # Rademacher probe, +-1/sqrt(Mt), zero at padding
+    true_signal,      # file units (beta); zeros if unknown
+    cg_max_iter,
+    cg_err_tol,
+):
+    sqrt_n = jnp.sqrt(dm.n)
+
+    # ---------------- denoising (src/vamp.cpp:176-272) ----------------
+    x1_new = g1(r1, gam1, prior)
+    x1_hat = jnp.where(damp, rho * x1_new + (1.0 - rho) * x1_hat_prev, x1_new)
+
+    alpha1 = jnp.sum(g1d(r1, gam1, prior) * dm.mmask) / dm.mt
+    eta1 = gam1 / alpha1
+    z1 = ax(dm, x1_hat)
+
+    gam2 = _clamp(eta1 - gam1)
+    r2 = (eta1 * x1_hat - gam1 * r1) / gam2
+
+    # diagnostic "true" gam2 against the known signal (src/vamp.cpp:263-270)
+    dev2 = r2 - sqrt_n * true_signal
+    gam2_true = dm.mt / jnp.dot(dev2, dev2)
+
+    # metrics, denoising half (src/vamp.cpp:760-852, ind=1)
+    x1_corr, _ = signal_metrics(x1_hat, true_signal, dm.n)
+    r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
+
+    # ---------------- LMMSE (src/vamp.cpp:287-362) ----------------
+    v = gamw * atx(dm, y_adj) + gam2 * r2
+    V = jnp.stack([v, bern], axis=1)
+    MU0 = jnp.stack([mu_warm, jnp.zeros_like(mu_warm)], axis=1)
+    res = cg_solve(
+        dm, V, MU0, gamw, gam2,
+        max_iter=cg_max_iter, tol=cg_err_tol,
+        onsager_cols=jnp.asarray([False, True]),
+    )
+    x2_hat = res.mu[:, 0]
+    invq_bern = res.mu[:, 1]
+
+    alpha2 = gam2 * jnp.dot(bern, invq_bern)  # Hutchinson (src/vamp.cpp:494-501)
+    eta2 = gam2 / alpha2
+    gam1_new = _clamp(eta2 - gam2)
+    gam1_new = rho * gam1_new + (1.0 - rho) * gam1    # damping (src/vamp.cpp:346)
+    r1_new = (eta2 * x2_hat - gam2 * r2) / gam1_new
+
+    dev1 = r1_new - sqrt_n * true_signal
+    gam1_true = dm.mt / jnp.dot(dev1, dev1)
+
+    # noise precision EM update (src/vamp.cpp:504-529)
+    z2 = ax(dm, x2_hat)
+    resid = z2 - y_raw
+    trace_vec = atx(dm, ax(dm, invq_bern))
+    trace_corr = jnp.dot(bern, trace_vec) * dm.mt
+    gamw_new = dm.n / (jnp.dot(resid, resid) + trace_corr)
+
+    # metrics, LMMSE half (ind=2)
+    x2_corr, _ = signal_metrics(x2_hat, true_signal, dm.n)
+    r2_lmmse, corr_y2_lmmse = prediction_metrics(z2, y_raw)
+
+    metrics = jnp.stack(
+        [r2_den, x1_corr, r2_lmmse, x2_corr, corr_y2_den, corr_y2_lmmse]
+    )
+
+    return dict(
+        x1_hat=x1_hat,
+        alpha1=alpha1,
+        eta1=eta1,
+        z1=z1,
+        gam2=gam2,
+        r2=r2,
+        x2_hat=x2_hat,
+        alpha2=alpha2,
+        eta2=eta2,
+        gam1=gam1_new,
+        r1=r1_new,
+        gamw=gamw_new,
+        cg_iters=res.iters,
+        cg_rel_err=res.rel_err,
+        metrics=metrics,
+        gam1_true=gam1_true,
+        gam2_true=gam2_true,
+    )
+
+
+def _log(verbose: bool, msg: str):
+    if verbose and jax.process_index() == 0:
+        print(msg, flush=True)
+
+
+def infere_linear(
+    dm: DesignMatrix,
+    y: np.ndarray,
+    cfg: RunConfig,
+    true_signal: np.ndarray | None = None,
+    x1hat_init: np.ndarray | None = None,
+    covariates: np.ndarray | None = None,
+    write_outputs: bool = True,
+) -> LinearResult:
+    """Run linear gVAMP.  `y`, `true_signal`, `x1hat_init` are host arrays in
+    file units; `dm` is the (possibly mesh-sharded) design operator."""
+    from ..prior.mixture import init_prior
+
+    M_pad = dm.m_pad
+    Mt = int(dm.mt)
+    N = int(dm.n)
+    sqrt_n = float(np.sqrt(N))
+    verbose = True
+
+    def pad_m(vec):
+        out = np.zeros(M_pad, dtype=np.float64)
+        if vec is not None:
+            out[: len(vec)] = vec
+        return jnp.asarray(out)
+
+    ts = pad_m(true_signal)
+    # Warm-start init follows the reference's written intent
+    # (src/vamp.cpp:70-79, SURVEY Q1): x1_hat = r1 = x1hat_init / sqrt(N).
+    init_vec = pad_m(x1hat_init) / sqrt_n
+    x1_hat = init_vec
+    r1 = init_vec
+
+    y_raw = jnp.asarray(np.asarray(y, dtype=np.float64))
+    y_adj = y_raw
+
+    prior = init_prior(cfg.probs, cfg.vars, N)
+    gam1 = jnp.asarray(float(cfg.gam1))
+    gamw = jnp.asarray(1.0 / (1.0 - cfg.h2))  # src/main_meth.cpp:52
+    rho = jnp.asarray(float(cfg.rho))
+    mu_warm = jnp.zeros(M_pad)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # covariate adjustment, once (src/vamp.cpp:153-169)
+    cov_eff = None
+    if cfg.C > 0 and covariates is not None and covariates.shape[1] > 0:
+        from ..glm.probit import newton_method_cov
+
+        cov_eff = newton_method_cov(
+            np.asarray(y), np.zeros(N), covariates, np.zeros(cfg.C),
+            probit_var=cfg.probit_var, verbosity=cfg.verbosity,
+        )
+        y_adj = jnp.asarray(np.asarray(y) - covariates @ cov_eff)
+
+    out_params = out_metrics = out_prior = None
+    if write_outputs:
+        prior_header = (
+            ["iteration", "number of components"]
+            + [f"prob{i}" for i in range(len(cfg.probs))]
+            + [f"var{i}" for i in range(len(cfg.vars))]
+        )
+        base = f"{cfg.out_dir}/{cfg.out_name}"
+        out_metrics = PositionalCSV(base + "_metrics.csv", METRICS_HEADER)
+        out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
+        out_prior = PositionalCSV(base + "_prior.csv", prior_header)
+
+    metrics_history = []
+    x1_scaled = np.zeros(Mt)
+    it_done = 0
+
+    for it in range(1, cfg.iterations + 1):
+        t0 = time.time()
+        _log(verbose, f"\n********************\niteration = {it}\n********************")
+
+        # EM prior update + merge (src/vamp.cpp:186-187 -> updatePrior)
+        if it > cfg.learn_prior_delay:
+            prior = _em_phase(
+                dm, r1, gam1, prior,
+                jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+                jnp.asarray(bool(cfg.learn_vars)),
+            )
+            p_np, v_np, a_np = merge_components(
+                np.asarray(prior.probs), np.asarray(prior.vars),
+                np.asarray(prior.active), cfg.merge_vars_thr,
+            )
+            prior = MixturePrior(
+                probs=jnp.asarray(p_np), vars=jnp.asarray(v_np), active=jnp.asarray(a_np)
+            )
+
+        # fresh Rademacher trace probe (seeded; fixes reference quirk Q4)
+        key, sub = jax.random.split(key)
+        bern = (
+            jax.random.rademacher(sub, (M_pad,), dtype=jnp.float64)
+            / np.sqrt(float(Mt))
+        ) * dm.mmask
+
+        x1_prev = x1_hat
+        r1_in = r1  # the r1 this iteration denoises; dumped to _r1_it_<k>.bin
+        out = _iteration_phase(
+            dm, y_adj, y_raw, r1, gam1, prior, x1_prev,
+            jnp.asarray(it > 1), rho, gamw, mu_warm, bern, ts,
+            jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+        )
+
+        x1_hat = out["x1_hat"]
+        mu_warm = out["x2_hat"]  # CG warm start (src/vamp.cpp:308-311, 753-754)
+        r1 = out["r1"]
+        gam1_denoise = float(gam1)  # params CSV records the pre-LMMSE gam1
+        gam1 = out["gam1"]
+        gamw = out["gamw"]
+
+        # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and the
+        # r1 that was denoised this iteration, also /sqrt(N)
+        x1_scaled = np.asarray(x1_hat)[:Mt] / sqrt_n
+        r1_scaled = np.asarray(r1_in)[:Mt] / sqrt_n
+
+        if write_outputs:
+            write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
+            write_bin_slab(
+                iteration_file(cfg.out_dir, cfg.out_name, it, kind="r1_"), r1_scaled
+            )
+
+        metrics = np.asarray(out["metrics"])
+        metrics_history.append(metrics)
+        params_row = [
+            float(out["alpha1"]), gam1_denoise,
+            float(out["alpha2"]), float(out["gam2"]), float(gamw),
+        ]
+        if write_outputs:
+            out_params.write_row(it, params_row)
+            out_metrics.write_row(it, metrics.tolist())
+            act = np.asarray(prior.active)
+            pr = np.asarray(prior.probs)[act]
+            vr = np.asarray(prior.vars)[act] / N
+            out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
+
+        _log(verbose, f"alpha1 = {float(out['alpha1'])}")
+        _log(verbose, f"gam1 = {gam1_denoise}")
+        _log(verbose, f"gam2 = {float(out['gam2'])}  (true {float(out['gam2_true'])})")
+        _log(verbose, f"alpha2 = {float(out['alpha2'])}")
+        _log(verbose, f"new gam1 = {float(gam1)}  (true {float(out['gam1_true'])})")
+        _log(verbose, f"gamw = {float(gamw)}")
+        _log(verbose, f"CG iters = {int(out['cg_iters'])}")
+        _log(verbose, f"metrics [R2_den, x1corr, R2_lmmse, x2corr, zcorr2_den, zcorr2_lmmse] = {metrics}")
+        _log(verbose, f"iteration time = {time.time() - t0:.3f}s")
+
+        it_done = it
+
+        # stopping criterion (src/vamp.cpp:405-423)
+        diff = np.asarray(x1_hat - x1_prev)
+        denom = float(np.dot(np.asarray(x1_prev), np.asarray(x1_prev)))
+        nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
+        _log(verbose, f"x1_hat NMSE = {nmse}")
+        if it > 1 and nmse < cfg.stop_criteria_thr:
+            _log(verbose, "...stopping criteria fulfilled")
+            break
+
+    act = np.asarray(prior.active)
+    return LinearResult(
+        x1_hat_scaled=x1_scaled,
+        iterations_run=it_done,
+        gam1=float(gam1),
+        gamw=float(gamw),
+        probs=np.asarray(prior.probs)[act],
+        vars=np.asarray(prior.vars)[act],
+        metrics_history=metrics_history,
+    )

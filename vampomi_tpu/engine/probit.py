@@ -1,0 +1,309 @@
+"""Probit (binary classification) GLM-VAMP driver.
+
+Reference: `vamp::infere_bin_class` (src/vamp_probit.cpp:19-467) — four
+half-steps per iteration over the pair (x, z = A x):
+
+  1. denoise x with the spike+mixture prior (g1/g1d, as in the linear model),
+     with rho-damping applied to BOTH x1_hat and alpha1 for it > 1
+     (src/vamp_probit.cpp:160-165);
+  2. denoise z with the probit-likelihood posterior (g1_bin_class) and form
+     the extrinsic pair (p2, tau2) (src/vamp_probit.cpp:213-253);
+  3. LMMSE x: CG solve of (tau2 A^T A + gam2 I) x = tau2 A^T p2 + gam2 r2,
+     fresh zero start each iteration (src/vamp_probit.cpp:300-311), Onsager
+     alpha2 via the Hutchinson probe;
+  4. LMMSE z: z2 = A x2, beta2 = (Mt/N)(1 - alpha2), extrinsic (p1, tau1)
+     (src/vamp_probit.cpp:352-376).
+
+Faithful quirks: eta1 uses the UNdamped alpha1 (src/vamp_probit.cpp:130)
+while r2 uses the damped x1_hat; g1 runs with the PREVIOUS iteration's prior
+(updatePrior is called after the denoiser, src/vamp_probit.cpp:113,139); the
+prior CSV row stores the internally-scaled (×N) variances
+(src/vamp_probit.cpp:427-428); the params CSV has 8 values under the 6-name
+linear header (src/vamp.cpp:72-77 + vamp_probit.cpp:22).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..glm.probit import g1_bin_class, g1d_bin_class, newton_method_cov
+from ..io.bin_io import iteration_file, write_bin_slab
+from ..io.csv_writer import PositionalCSV
+from ..ops.cg import cg_solve
+from ..ops.operator import DesignMatrix, atx, ax
+from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
+from .linear import GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log
+from .metrics import confusion_counts
+
+
+def _clamp(x):
+    return jnp.minimum(jnp.maximum(x, GAMMA_MIN), GAMMA_MAX)
+
+
+class ProbitResult(NamedTuple):
+    x1_hat_scaled: np.ndarray
+    iterations_run: int
+    gam1: float
+    tau1: float
+    cov_eff: np.ndarray | None
+    probs: np.ndarray
+    vars: np.ndarray
+    metrics_history: list
+
+
+@jax.jit
+def _probit_phase(
+    dm: DesignMatrix,
+    y,                # 0/1 labels (N,)
+    m_cov,            # covariate offsets Z @ cov_eff (N,)
+    r1, r2, p1, p2,
+    gam1, tau1, gam2_in, alpha1_prev,
+    prior: MixturePrior,
+    x1_hat_prev,
+    damp, rho, probit_var,
+    bern,
+    true_signal_scaled,   # sqrt(N) * beta, padded
+    cg_max_iter, cg_err_tol,
+):
+    sqrt_n = jnp.sqrt(dm.n)
+
+    # ---------- denoise x (src/vamp_probit.cpp:97-165) ----------
+    x1_new = g1(r1, gam1, prior)
+    alpha1_new = jnp.sum(g1d(r1, gam1, prior) * dm.mmask) / dm.mt
+    eta1 = gam1 / alpha1_new  # uses UNdamped alpha1 (line 130)
+
+    x1_hat = jnp.where(damp, rho * x1_new + (1.0 - rho) * x1_hat_prev, x1_new)
+    alpha1 = jnp.where(damp, rho * alpha1_new + (1.0 - rho) * alpha1_prev, alpha1_new)
+
+    def corr(a, b):
+        den = jnp.sqrt(jnp.dot(a, a) * jnp.dot(b, b))
+        return jnp.dot(a, b) / jnp.where(den == 0.0, 1.0, den)
+
+    x1_corr = corr(x1_hat, true_signal_scaled)
+
+    gam2 = _clamp(eta1 - gam1)
+    r2_new = (eta1 * x1_hat - gam1 * r1) / gam2
+
+    # ---------- denoise z (src/vamp_probit.cpp:200-253) ----------
+    z1_hat = g1_bin_class(p1, tau1, y, m_cov, probit_var)
+    beta1 = jnp.sum(g1d_bin_class(p1, tau1, y, m_cov, probit_var))
+    beta1 = jnp.where(beta1 >= dm.n, dm.n - 1.0, beta1) / dm.n
+    p2_new = (z1_hat - beta1 * p1) / (1.0 - beta1)
+    tau2 = tau1 * (1.0 - beta1) / beta1
+
+    # metrics, denoising half (src/vamp_probit.cpp:269-287)
+    z1_pred = ax(dm, x1_hat / sqrt_n)
+    y1_hat = (jax.scipy.stats.norm.cdf(z1_pred) >= 0.5).astype(jnp.float64)
+    tp1, tn1, fp1, fn1 = confusion_counts(y, y1_hat)
+    acc1 = (tp1 + tn1) / dm.n
+
+    # ---------- LMMSE x (src/vamp_probit.cpp:291-346) ----------
+    v = tau2 * atx(dm, p2_new) + gam2 * r2_new
+    V = jnp.stack([v, bern], axis=1)
+    MU0 = jnp.zeros_like(V)  # probit CG starts from zero every iteration
+    res = cg_solve(
+        dm, V, MU0, tau2, gam2,
+        max_iter=cg_max_iter, tol=cg_err_tol,
+        onsager_cols=jnp.asarray([False, True]),
+    )
+    x2_hat = res.mu[:, 0]
+    invq_bern = res.mu[:, 1]
+    alpha2 = gam2 * jnp.dot(bern, invq_bern)
+
+    x2_corr = corr(x2_hat, true_signal_scaled)
+
+    r1_new = (x2_hat - alpha2 * r2_new) / (1.0 - alpha2)
+    gam1_new = _clamp(gam2 * (1.0 - alpha2) / alpha2)
+
+    # ---------- LMMSE z (src/vamp_probit.cpp:351-376) ----------
+    z2_hat = ax(dm, x2_hat)
+    beta2 = dm.mt / dm.n * (1.0 - alpha2)
+    p1_new = (z2_hat - beta2 * p2_new) / (1.0 - beta2)
+    tau1_new = _clamp(tau2 * (1.0 - beta2) / beta2)
+
+    # metrics, LMMSE half (src/vamp_probit.cpp:402-420)
+    z2_pred = ax(dm, x2_hat / sqrt_n)
+    y2_hat = (jax.scipy.stats.norm.cdf(z2_pred) >= 0.5).astype(jnp.float64)
+    tp2, tn2, fp2, fn2 = confusion_counts(y, y2_hat)
+    acc2 = (tp2 + tn2) / dm.n
+
+    metrics = jnp.stack(
+        [
+            tp1.astype(jnp.float64), tn1.astype(jnp.float64),
+            fp1.astype(jnp.float64), fn1.astype(jnp.float64), acc1, x1_corr,
+            tp2.astype(jnp.float64), tn2.astype(jnp.float64),
+            fp2.astype(jnp.float64), fn2.astype(jnp.float64), acc2, x2_corr,
+        ]
+    )
+    params = jnp.stack([alpha1, beta1, gam1, tau1, alpha2, beta2, gam2, tau2])
+
+    return dict(
+        x1_hat=x1_hat, alpha1=alpha1, gam2=gam2, r2=r2_new,
+        x2_hat=x2_hat, alpha2=alpha2, r1=r1_new, gam1=gam1_new,
+        p1=p1_new, p2=p2_new, tau1=tau1_new, tau2=tau2,
+        z1_hat=z1_hat, metrics=metrics, params=params, cg_iters=res.iters,
+    )
+
+
+def infere_bin_class(
+    dm: DesignMatrix,
+    y: np.ndarray,
+    cfg: RunConfig,
+    true_signal: np.ndarray | None = None,
+    x1hat_init: np.ndarray | None = None,
+    covariates: np.ndarray | None = None,
+    write_outputs: bool = True,
+) -> ProbitResult:
+    from ..prior.mixture import init_prior
+
+    M_pad = dm.m_pad
+    Mt = int(dm.mt)
+    N = int(dm.n)
+    sqrt_n = float(np.sqrt(N))
+    verbose = True
+
+    def pad_m(vec):
+        out = np.zeros(M_pad, dtype=np.float64)
+        if vec is not None:
+            out[: len(vec)] = vec
+        return jnp.asarray(out)
+
+    ts_scaled = pad_m(true_signal) * sqrt_n  # src/vamp_probit.cpp:43-45
+    init_vec = pad_m(x1hat_init) / sqrt_n
+    x1_hat = init_vec
+    r1 = jnp.zeros(M_pad)   # src/vamp_probit.cpp:55
+    r2 = jnp.zeros(M_pad)
+    alpha1 = jnp.asarray(0.0)
+
+    y_j = jnp.asarray(np.asarray(y, dtype=np.float64))
+    prior = init_prior(cfg.probs, cfg.vars, N)
+    gam1 = jnp.asarray(float(cfg.gam1))
+    tau1 = gam1  # src/vamp_probit.cpp:35
+    gam2 = jnp.asarray(0.0)
+    rho = jnp.asarray(float(cfg.rho))
+    probit_var = jnp.asarray(float(cfg.probit_var))
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, sub = jax.random.split(key)
+    p1 = jax.random.normal(sub, (N,), dtype=jnp.float64)  # src/vamp_probit.cpp:53
+    p2 = jnp.zeros(N)
+
+    cov_eff = None
+    m_cov = jnp.zeros(N)
+    if cfg.C > 0 and covariates is not None and covariates.shape[1] > 0:
+        cov_eff = newton_method_cov(
+            np.asarray(y), np.zeros(N), covariates, np.zeros(cfg.C),
+            probit_var=cfg.probit_var, verbosity=cfg.verbosity,
+        )
+        m_cov = jnp.asarray(covariates @ cov_eff)
+
+    out_params = out_metrics = out_prior = None
+    if write_outputs:
+        prior_header = (
+            ["iteration", "number of components"]
+            + [f"prob{i}" for i in range(len(cfg.probs))]
+            + [f"var{i}" for i in range(len(cfg.vars))]
+        )
+        base = f"{cfg.out_dir}/{cfg.out_name}"
+        out_metrics = PositionalCSV(base + "_metrics.csv", METRICS_HEADER)
+        out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
+        out_prior = PositionalCSV(base + "_prior.csv", prior_header)
+
+    metrics_history = []
+    x1_scaled = np.zeros(Mt)
+    it_done = 0
+
+    for it in range(1, cfg.iterations + 1):
+        t0 = time.time()
+        _log(verbose, f"\n********************\niteration = {it}\n********************")
+
+        key, sub = jax.random.split(key)
+        bern = (
+            jax.random.rademacher(sub, (M_pad,), dtype=jnp.float64)
+            / np.sqrt(float(Mt))
+        ) * dm.mmask
+
+        x1_prev = x1_hat
+        r1_in = r1
+        out = _probit_phase(
+            dm, y_j, m_cov, r1, r2, p1, p2,
+            gam1, tau1, gam2, alpha1, prior, x1_prev,
+            jnp.asarray(it > 1), rho, probit_var, bern, ts_scaled,
+            jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+        )
+
+        # EM prior update for the NEXT iteration (g1 above used the old prior;
+        # reference calls updatePrior after the denoiser, src/vamp_probit.cpp:139)
+        if it > 1:
+            from .linear import _em_phase
+
+            prior = _em_phase(
+                dm, r1_in, gam1, prior,
+                jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+                jnp.asarray(bool(cfg.learn_vars)),
+            )
+            p_np, v_np, a_np = merge_components(
+                np.asarray(prior.probs), np.asarray(prior.vars),
+                np.asarray(prior.active), cfg.merge_vars_thr,
+            )
+            prior = MixturePrior(
+                probs=jnp.asarray(p_np), vars=jnp.asarray(v_np),
+                active=jnp.asarray(a_np),
+            )
+
+        x1_hat = out["x1_hat"]
+        alpha1 = out["alpha1"]
+        r1, r2 = out["r1"], out["r2"]
+        p1, p2 = out["p1"], out["p2"]
+        gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
+
+        x1_scaled = np.asarray(x1_hat)[:Mt] / sqrt_n
+        r1_scaled = np.asarray(r1_in)[:Mt] / sqrt_n
+        if write_outputs:
+            write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
+            write_bin_slab(
+                iteration_file(cfg.out_dir, cfg.out_name, it, kind="r1_"), r1_scaled
+            )
+
+        metrics = np.asarray(out["metrics"])
+        metrics_history.append(metrics)
+        if write_outputs:
+            out_params.write_row(it, np.asarray(out["params"]).tolist())
+            out_metrics.write_row(it, metrics.tolist())
+            act = np.asarray(prior.active)
+            pr = np.asarray(prior.probs)[act]
+            vr = np.asarray(prior.vars)[act]  # internal ×N scale (line 428)
+            out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
+
+        _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(out['params'])}")
+        _log(verbose, f"acc1 = {metrics[4]:.4f}, acc2 = {metrics[10]:.4f}, "
+                      f"x1_corr = {metrics[5]:.4f}, CG iters = {int(out['cg_iters'])}")
+        _log(verbose, f"iteration time = {time.time() - t0:.3f}s")
+
+        it_done = it
+
+        diff = np.asarray(x1_hat - x1_prev)
+        denom = float(np.dot(np.asarray(x1_prev), np.asarray(x1_prev)))
+        nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
+        _log(verbose, f"x1_hat NMSE = {nmse}")
+        if it > 1 and nmse < cfg.stop_criteria_thr:
+            _log(verbose, "...stopping criteria fulfilled")
+            break
+
+    act = np.asarray(prior.active)
+    return ProbitResult(
+        x1_hat_scaled=x1_scaled,
+        iterations_run=it_done,
+        gam1=float(gam1),
+        tau1=float(tau1),
+        cov_eff=cov_eff,
+        probs=np.asarray(prior.probs)[act],
+        vars=np.asarray(prior.vars)[act],
+        metrics_history=metrics_history,
+    )

@@ -1,0 +1,90 @@
+"""Binary vector/matrix IO matching the reference's byte formats.
+
+Formats (reference: SURVEY §2.4):
+  * meth `.bin`   — Mt consecutive marker blocks of N float64 each
+                    (marker-major; reference simulation/data_sim.py:58,
+                    slab offset math src/data.cpp:134)
+  * vector `.bin` — Mt float64 (estimates, r1, true signals, p-values;
+                    reference src/utilities.cpp:241-267)
+
+Each host reads/writes only its own slab of the single shared file — the
+TPU-native equivalent of the reference's `MPI_File_set_view` at offset S·8
+(src/utilities.cpp:246,258).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def read_bin_slab(path: str, count: int, start: int = 0) -> np.ndarray:
+    """Read `count` float64 values starting at element offset `start`.
+    Mirrors `mpi_read_vec_from_file` (src/utilities.cpp:251-267)."""
+    return np.fromfile(path, dtype="<f8", count=count, offset=start * 8)
+
+
+def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
+    """Write float64 `vec` at element offset `start`, creating the file if
+    needed.  Mirrors `mpi_store_vec_to_file` (src/utilities.cpp:241-249):
+    concurrent hosts each write disjoint slabs of one shared file."""
+    vec = np.ascontiguousarray(vec, dtype="<f8")
+    mode = "r+b" if os.path.exists(path) else "w+b"
+    with open(path, mode) as f:
+        f.seek(start * 8)
+        f.write(vec.tobytes())
+
+
+def read_meth_bin(
+    path: str, n: int, m: int, start_marker: int = 0, dtype=np.float64
+) -> np.ndarray:
+    """Memory-map the marker-major meth matrix and materialize `m` markers
+    starting at `start_marker` as an (m, n) array.
+
+    Mirrors the reference's collective slab read at byte offset S·N·8
+    (src/data.cpp:116-153) without ever loading other hosts' slabs.
+    """
+    mm = np.memmap(path, dtype="<f8", mode="r", shape=(m, n), offset=start_marker * n * 8)
+    return np.asarray(mm, dtype=dtype)
+
+
+def read_vec_from_text(path: str, count: int, start: int = 0) -> np.ndarray:
+    """Whitespace-separated text vector window [start, start+count)
+    (reference src/utilities.cpp:104-122)."""
+    vals = []
+    it = 0
+    with open(path) as f:
+        for tok in f.read().split():
+            if start <= it < start + count:
+                vals.append(float(tok))
+            elif it >= start + count:
+                break
+            it += 1
+    return np.asarray(vals, dtype=np.float64)
+
+
+def iteration_file(out_dir: str, out_name: str, it: int, kind: str = "") -> str:
+    """Output naming contract: `<out>_it_<k>.bin`, `<out>_r1_it_<k>.bin`, …
+    The `it_<k>` substring is load-bearing — downstream modes parse the
+    iteration number back out of the filename (src/main_meth.cpp:151-166)."""
+    prefix = f"{out_name}_{kind}it_{it}" if kind else f"{out_name}_it_{it}"
+    return os.path.join(out_dir, prefix + ".bin")
+
+
+def substitute_iteration(file_name: str, it: int) -> str:
+    """Rewrite `..._it_<k>.<ext>` to iteration `it`, replicating the
+    substring surgery in the reference test mode (src/main_meth.cpp:150-166):
+    everything from the last "it" through the first "." is replaced."""
+    pos_dot = file_name.find(".")
+    ext = file_name[pos_dot + 1 :]
+    pos_it = file_name.rfind("it")
+    return file_name[:pos_it] + f"it_{it}." + ext
+
+
+def parse_iteration(file_name: str) -> str:
+    """Extract the iteration substring between the last 'it_' and '.bin'
+    (reference src/main_meth.cpp:222-226, 247-251)."""
+    pos1 = file_name.rfind("it_") + 3
+    pos2 = file_name.rfind(".bin")
+    return file_name[pos1:pos2]

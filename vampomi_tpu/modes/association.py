@@ -1,0 +1,104 @@
+"""`association_test` run mode: SE and LOO p-values.
+
+SE (reference src/main_meth.cpp:220-244): p_j = Phi(0; r1_j, sqrt(1/(gam1 N))),
+flipped for r1_j <= 0; written to `<out>_it_<k>_pval_se.bin`.
+
+LOO (reference src/main_meth.cpp:245-264 + src/data.cpp:385-417): leave-one-
+out per-marker regression.  The reference's O(M·N) serial loop is replaced by
+closed-form sufficient statistics around a single A-pass:
+
+  y_mark^{(j)} = (y - z1) + X_j x̂_j / sqrt(N)      (raw X_j — quirk Q5)
+
+  sumy_j   = Σ y_mod + sumx_j x̂_j / sqrt(N)
+  sumxy_j  = (X y_mod)_j + sumsqx_j x̂_j / sqrt(N)
+  sumsqy_j = ||y_mod||² + 2 x̂_j/sqrt(N) (X y_mod)_j + x̂_j²/N sumsqx_j
+
+then the 1-D regression t-test (reference src/utilities.cpp:269-282) done
+with scipy's Student-t survival function.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm, t as student_t
+
+from ..config import RunConfig
+from ..dataset import Dataset
+from ..io.bin_io import parse_iteration, read_bin_slab, write_bin_slab
+from ..ops.operator import ax
+
+
+def pvals_se(r1: np.ndarray, gam1: float, n: int) -> np.ndarray:
+    scale = np.sqrt(1.0 / (gam1 * float(n)))
+    p = norm.cdf(0.0, loc=r1, scale=scale)
+    return np.where(r1 <= 0.0, 1.0 - p, p)
+
+
+def linear_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n: int) -> np.ndarray:
+    """Vectorized port of the reference's 1-D regression t-test
+    (src/utilities.cpp:269-282)."""
+    s2y = (sumsqy - sumy * sumy / n) / (n - 1)
+    s2x = (sumsqx - sumx * sumx / n) / (n - 1)
+    sxy = (sumxy - sumx * sumy / n) / (n - 1)
+    rxy = sxy / np.sqrt(s2x * s2y)
+    tstat = rxy * np.sqrt((n - 2) / (1.0 - rxy * rxy))
+    return 2.0 * student_t.sf(np.abs(tstat), df=n - 2)
+
+
+@jax.jit
+def _loo_stats(dm, y_mod):
+    """Per-marker raw-X moments and the X @ y_mod matvec, one fused pass."""
+    Xf = dm.X.astype(jnp.float64)
+    sumx = jnp.sum(Xf, axis=1)
+    sumsqx = jnp.sum(Xf * Xf, axis=1)
+    xy = Xf @ y_mod
+    return sumx, sumsqx, xy
+
+
+def pvals_loo(ds: Dataset, x1_hat_scaled_up: np.ndarray) -> np.ndarray:
+    """x1_hat_scaled_up: estimate * sqrt(N) (internal scale), length Mt."""
+    dm = ds.dm
+    n = int(dm.n)
+    mt = int(dm.mt)
+    m_pad = dm.m_pad
+
+    xp = np.zeros(m_pad)
+    xp[:mt] = x1_hat_scaled_up
+    z1 = np.asarray(ax(dm, jnp.asarray(xp)))
+    y_mod = ds.phen.y - z1
+
+    sumx, sumsqx, xy = (np.asarray(a)[:mt] for a in _loo_stats(dm, jnp.asarray(y_mod)))
+    xh = x1_hat_scaled_up / np.sqrt(n)
+    sum_ymod = float(np.sum(y_mod))
+    ss_ymod = float(np.dot(y_mod, y_mod))
+
+    sumy = sum_ymod + sumx * xh
+    sumxy = xy + sumsqx * xh
+    sumsqy = ss_ymod + 2.0 * xh * xy + xh * xh * sumsqx
+
+    return linear_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n)
+
+
+def run_association_test(ds: Dataset, cfg: RunConfig) -> np.ndarray:
+    mt = int(ds.dm.mt)
+    n = int(ds.dm.n)
+
+    if cfg.pval_method == "se":
+        it_str = parse_iteration(cfg.r1_file)
+        r1 = read_bin_slab(cfg.r1_file, mt)
+        pvals = pvals_se(r1, cfg.gam1, n)
+        out = os.path.join(cfg.out_dir, f"{cfg.out_name}_it_{it_str}_pval_se.bin")
+    elif cfg.pval_method == "loo":
+        it_str = parse_iteration(cfg.estimate_file)
+        x1 = read_bin_slab(cfg.estimate_file, mt) * np.sqrt(float(n))
+        pvals = pvals_loo(ds, x1)
+        out = os.path.join(cfg.out_dir, f"{cfg.out_name}_it_{it_str}_pval_loo.bin")
+    else:
+        raise ValueError(f"unknown pval method {cfg.pval_method}")
+
+    write_bin_slab(out, pvals)
+    return pvals

@@ -1,0 +1,102 @@
+"""Out-of-sample `test` run mode.
+
+Linear (reference src/main_meth.cpp:112-205): for each saved iteration's
+estimate, rescale by sqrt(N_test), predict z = A_test x, and record
+R2 = 1 - ||y - z||^2 / (sigma_y^2 N) and Corr(z, y)^2 into `_test.csv`.
+
+Probit (reference src/main_meth_probit.cpp:104-200): confusion matrix of
+Phi(z) >= 0.5 against the 0/1 labels, rows [TP, TN, FP, FN, ACC]; note the
+probit test CSV has NO header row (the reference never writes one).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from scipy.special import ndtr
+
+from ..config import RunConfig
+from ..dataset import Dataset
+from ..io.bin_io import read_bin_slab, read_vec_from_text, substitute_iteration
+from ..io.csv_writer import PositionalCSV
+from ..ops.operator import ax
+
+
+def _read_estimate(est_file_it: str, mt: int) -> np.ndarray:
+    # extension = everything after the FIRST dot (reference main_meth.cpp:151-152)
+    ext = est_file_it[est_file_it.find(".") + 1 :]
+    if ext == "bin":
+        return read_bin_slab(est_file_it, mt)
+    return read_vec_from_text(est_file_it, mt)
+
+
+def _predict(ds: Dataset, x_est: np.ndarray, n_test: int) -> np.ndarray:
+    m_pad = ds.dm.m_pad
+    xp = np.zeros(m_pad)
+    xp[: len(x_est)] = x_est * np.sqrt(float(n_test))
+    z = ax(ds.dm, jax.numpy.asarray(xp))
+    return np.asarray(z)
+
+
+def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
+    y = ds.phen.y
+    n_test = cfg.N_test
+    mt = int(ds.dm.mt)
+
+    out = PositionalCSV(
+        os.path.join(cfg.out_dir, cfg.out_name + "_test.csv"),
+        ["iteration", "R2 test", "z correlation test"],
+    )
+
+    rows = []
+    lo, hi = cfg.test_iter_range
+    for it in range(lo, hi + 1):
+        est_file_it = substitute_iteration(cfg.estimate_file, it)
+        if not os.path.exists(est_file_it):
+            continue
+        x_est = _read_estimate(est_file_it, mt)
+        z = _predict(ds, x_est, n_test)
+
+        l2 = float(np.sum((y - z) ** 2))
+        # stdev with the (n-1) denominator (reference utilities.cpp:183-205)
+        stdev = float(np.std(y, ddof=1))
+        r2 = 1.0 - l2 / (stdev * stdev * len(y))
+        corr = float(np.dot(z, y) / np.sqrt(np.dot(z, z) * np.dot(y, y)))
+        row = [r2, corr * corr]
+        rows.append(row)
+        out.write_row(it, row)
+    return rows
+
+
+def run_test_probit(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
+    y = ds.phen.y
+    n_test = cfg.N_test
+    mt = int(ds.dm.mt)
+
+    # probit test csv: rows only, no header (src/main_meth_probit.cpp:106-199)
+    path = os.path.join(cfg.out_dir, cfg.out_name + "_test.csv")
+    if os.path.exists(path):
+        os.remove(path)
+    open(path, "wb").close()
+    out = PositionalCSV(path, [], create=False)
+
+    rows = []
+    lo, hi = cfg.test_iter_range
+    for it in range(lo, hi + 1):
+        est_file_it = substitute_iteration(cfg.estimate_file, it)
+        if not os.path.exists(est_file_it):
+            continue
+        x_est = _read_estimate(est_file_it, mt)
+        z = _predict(ds, x_est, n_test)
+        yhat = (ndtr(z) >= 0.5).astype(np.float64)
+        tp = int(np.sum((y == 1) & (yhat == 1)))
+        tn = int(np.sum((y == 0) & (yhat == 0)))
+        fp = int(np.sum((y == 0) & (yhat == 1)))
+        fn = int(np.sum((y == 1) & (yhat == 0)))
+        acc = (tp + tn) / max(tp + tn + fp + fn, 1)
+        row = [float(tp), float(tn), float(fp), float(fn), acc]
+        rows.append(row)
+        out.write_row(it, row)
+    return rows

@@ -1,0 +1,146 @@
+"""Jacobi-preconditioned conjugate-gradient solver for the LMMSE system
+
+    Q mu = v,   Q = tau · A^T A + gam2 · I
+
+as a `lax.while_loop` (static shapes, data-dependent trip count).
+
+Mirrors the reference `vamp::precondCG_solver` (src/vamp.cpp:664-757):
+  * Jacobi preconditioner diag = tau (N-1)/N + gam2 — a *scalar*, because
+    standardized columns give diag(A^T A) ≈ (N-1)/N (src/vamp.cpp:674-677);
+  * identical update order (alpha, mu, [onsager check], r, z, beta, p,
+    residual test) so trajectories match the reference to fp tolerance;
+  * the `denoiser == 0` variant's early exit when the running Hutchinson
+    estimate gam2 ⟨v, mu⟩ stabilizes to rel-err 1e-8 (src/vamp.cpp:708-726).
+
+TPU-first extension: the solver is **multi-RHS**.  K right-hand sides are
+solved simultaneously with per-column alpha/beta and per-column stopping, so
+the two CG solves of each VAMP iteration (the main LMMSE solve and the
+Onsager trace-probe solve) share every pass over the M×N matrix — halving
+HBM traffic per iteration relative to the reference's serial structure while
+producing the same per-column iterates (CG columns are independent).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operator import DesignMatrix, normal_eq_mult
+
+_ONSAGER_REL_TOL = 1e-8  # reference: src/vamp.cpp:718
+
+
+class CGResult(NamedTuple):
+    mu: jax.Array        # (M, K) solution iterates
+    iters: jax.Array     # () int — CG iterations executed
+    rel_err: jax.Array   # (K,) final ||r|| / ||v|| per column
+
+
+def cg_solve(
+    dm: DesignMatrix,
+    v: jax.Array,
+    mu0: jax.Array,
+    tau,
+    gam2,
+    *,
+    max_iter: int,
+    tol: float,
+    onsager_cols: jax.Array | None = None,
+) -> CGResult:
+    """Solve Q mu = v column-wise for v of shape (M, K).
+
+    onsager_cols: optional (K,) bool — columns using the denoiser==0 early
+    exit on gam2·⟨v, mu⟩ stabilization in addition to the residual test.
+    """
+    v = v if v.ndim == 2 else v[:, None]
+    mu0 = mu0 if mu0.ndim == 2 else mu0[:, None]
+    K = v.shape[1]
+    if onsager_cols is None:
+        onsager_cols = jnp.zeros((K,), dtype=bool)
+
+    tau = jnp.asarray(tau, dtype=jnp.float64)
+    gam2 = jnp.asarray(gam2, dtype=jnp.float64)
+    diag = tau * (dm.n - 1.0) / dm.n + gam2  # scalar Jacobi preconditioner
+
+    def colsum(a, b):  # per-column inner products ⟨a_k, b_k⟩
+        return jnp.sum(a * b, axis=0)
+
+    norm_v = jnp.sqrt(colsum(v, v))
+    safe_norm_v = jnp.where(norm_v == 0.0, 1.0, norm_v)
+
+    r0 = v - normal_eq_mult(dm, mu0, tau, gam2)
+    z0 = r0 / diag
+    p0 = z0
+    rz0 = colsum(r0, z0)
+
+    class State(NamedTuple):
+        i: jax.Array
+        mu: jax.Array
+        r: jax.Array
+        z: jax.Array
+        p: jax.Array
+        rz: jax.Array
+        prev_ons: jax.Array
+        active: jax.Array
+        rel_err: jax.Array
+
+    init = State(
+        i=jnp.asarray(0),
+        mu=mu0,
+        r=r0,
+        z=z0,
+        p=p0,
+        rz=rz0,
+        prev_ons=jnp.zeros((K,), dtype=jnp.float64),
+        active=jnp.ones((K,), dtype=bool),
+        rel_err=jnp.full((K,), jnp.inf, dtype=jnp.float64),
+    )
+
+    def cond(s: State):
+        return jnp.logical_and(s.i < max_iter, jnp.any(s.active))
+
+    def body(s: State) -> State:
+        d = normal_eq_mult(dm, s.p, tau, gam2)
+        dp = colsum(d, s.p)
+        alpha = s.rz / jnp.where(dp == 0.0, 1.0, dp)
+        alpha = jnp.where(s.active, alpha, 0.0)
+
+        mu = s.mu + alpha[None, :] * s.p
+
+        # denoiser == 0 early exit: running Onsager estimate stabilized.
+        ons = gam2 * colsum(v, mu)
+        ons_rel = jnp.where(
+            ons != 0.0, jnp.abs((ons - s.prev_ons) / jnp.where(ons == 0.0, 1.0, ons)), 1.0
+        )
+        ons_done = jnp.logical_and(onsager_cols, ons_rel < _ONSAGER_REL_TOL)
+        still = jnp.logical_and(s.active, jnp.logical_not(ons_done))
+
+        upd = still[None, :]
+        r = jnp.where(upd, s.r - alpha[None, :] * d, s.r)
+        z = jnp.where(upd, r / diag, s.z)
+        rz_new = colsum(r, z)
+        beta = rz_new / jnp.where(s.rz == 0.0, 1.0, s.rz)
+        p = jnp.where(upd, z + beta[None, :] * s.p, s.p)
+
+        rel_err = jnp.where(
+            still, jnp.sqrt(colsum(r, r)) / safe_norm_v, s.rel_err
+        )
+        active = jnp.logical_and(still, rel_err >= tol)
+
+        return State(
+            i=s.i + 1,
+            mu=mu,
+            r=r,
+            z=z,
+            p=p,
+            rz=jnp.where(still, rz_new, s.rz),
+            prev_ons=ons,
+            active=active,
+            rel_err=rel_err,
+        )
+
+    out = lax.while_loop(cond, body, init)
+    return CGResult(mu=out.mu, iters=out.i, rel_err=out.rel_err)
