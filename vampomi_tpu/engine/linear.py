@@ -95,29 +95,41 @@ def _iteration_phase(
     cg_max_iter,
     cg_err_tol,
 ):
-    sqrt_n = jnp.sqrt(dm.n)
+    # Dtype policy: every M/N-length vector lives in the work dtype (f32 on
+    # TPU — emulated f64 vector math is ~1000x slower there); gammas/alphas
+    # and all O(1) bookkeeping stay f64.
+    wd = dm.wd
+    c = lambda s: jnp.asarray(s).astype(wd)  # noqa: E731 — scalar → work dtype
+    r1 = r1.astype(wd)
+    x1_hat_prev = x1_hat_prev.astype(wd)
+    y_adj = y_adj.astype(wd)
+    y_raw = y_raw.astype(wd)
+    mu_warm = mu_warm.astype(wd)
+    bern = bern.astype(wd)
+    ts = true_signal.astype(wd)
+    sqrt_n_c = c(jnp.sqrt(dm.n))
 
     # ---------------- denoising (src/vamp.cpp:176-272) ----------------
     x1_new = g1(r1, gam1, prior)
-    x1_hat = jnp.where(damp, rho * x1_new + (1.0 - rho) * x1_hat_prev, x1_new)
+    x1_hat = jnp.where(damp, c(rho) * x1_new + c(1.0 - rho) * x1_hat_prev, x1_new)
 
-    alpha1 = jnp.sum(g1d(r1, gam1, prior) * dm.mmask) / dm.mt
+    alpha1 = (jnp.sum(g1d(r1, gam1, prior) * dm.mmask)).astype(jnp.float64) / dm.mt
     eta1 = gam1 / alpha1
     z1 = ax(dm, x1_hat)
 
     gam2 = _clamp(eta1 - gam1)
-    r2 = (eta1 * x1_hat - gam1 * r1) / gam2
+    r2 = (c(eta1) * x1_hat - c(gam1) * r1) / c(gam2)
 
     # diagnostic "true" gam2 against the known signal (src/vamp.cpp:263-270)
-    dev2 = r2 - sqrt_n * true_signal
-    gam2_true = dm.mt / jnp.dot(dev2, dev2)
+    dev2 = r2 - sqrt_n_c * ts
+    gam2_true = dm.mt / jnp.dot(dev2, dev2).astype(jnp.float64)
 
     # metrics, denoising half (src/vamp.cpp:760-852, ind=1)
-    x1_corr, _ = signal_metrics(x1_hat, true_signal, dm.n)
+    x1_corr, _ = signal_metrics(x1_hat, ts, dm.n)
     r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
 
     # ---------------- LMMSE (src/vamp.cpp:287-362) ----------------
-    v = gamw * atx(dm, y_adj) + gam2 * r2
+    v = c(gamw) * atx(dm, y_adj) + c(gam2) * r2
     V = jnp.stack([v, bern], axis=1)
     MU0 = jnp.stack([mu_warm, jnp.zeros_like(mu_warm)], axis=1)
     res = cg_solve(
@@ -128,24 +140,25 @@ def _iteration_phase(
     x2_hat = res.mu[:, 0]
     invq_bern = res.mu[:, 1]
 
-    alpha2 = gam2 * jnp.dot(bern, invq_bern)  # Hutchinson (src/vamp.cpp:494-501)
+    # Hutchinson Onsager (src/vamp.cpp:494-501)
+    alpha2 = gam2 * jnp.dot(bern, invq_bern).astype(jnp.float64)
     eta2 = gam2 / alpha2
     gam1_new = _clamp(eta2 - gam2)
     gam1_new = rho * gam1_new + (1.0 - rho) * gam1    # damping (src/vamp.cpp:346)
-    r1_new = (eta2 * x2_hat - gam2 * r2) / gam1_new
+    r1_new = (c(eta2) * x2_hat - c(gam2) * r2) / c(gam1_new)
 
-    dev1 = r1_new - sqrt_n * true_signal
-    gam1_true = dm.mt / jnp.dot(dev1, dev1)
+    dev1 = r1_new - sqrt_n_c * ts
+    gam1_true = dm.mt / jnp.dot(dev1, dev1).astype(jnp.float64)
 
     # noise precision EM update (src/vamp.cpp:504-529)
     z2 = ax(dm, x2_hat)
     resid = z2 - y_raw
     trace_vec = atx(dm, ax(dm, invq_bern))
-    trace_corr = jnp.dot(bern, trace_vec) * dm.mt
-    gamw_new = dm.n / (jnp.dot(resid, resid) + trace_corr)
+    trace_corr = jnp.dot(bern, trace_vec).astype(jnp.float64) * dm.mt
+    gamw_new = dm.n / (jnp.dot(resid, resid).astype(jnp.float64) + trace_corr)
 
     # metrics, LMMSE half (ind=2)
-    x2_corr, _ = signal_metrics(x2_hat, true_signal, dm.n)
+    x2_corr, _ = signal_metrics(x2_hat, ts, dm.n)
     r2_lmmse, corr_y2_lmmse = prediction_metrics(z2, y_raw)
 
     metrics = jnp.stack(
@@ -195,22 +208,23 @@ def infere_linear(
     Mt = int(dm.mt)
     N = int(dm.n)
     sqrt_n = float(np.sqrt(N))
+    wd = dm.wd
     verbose = True
 
     def pad_m(vec):
         out = np.zeros(M_pad, dtype=np.float64)
         if vec is not None:
             out[: len(vec)] = vec
-        return jnp.asarray(out)
+        return jnp.asarray(out, dtype=wd)
 
     ts = pad_m(true_signal)
     # Warm-start init follows the reference's written intent
     # (src/vamp.cpp:70-79, SURVEY Q1): x1_hat = r1 = x1hat_init / sqrt(N).
-    init_vec = pad_m(x1hat_init) / sqrt_n
+    init_vec = pad_m(np.asarray(x1hat_init) / sqrt_n if x1hat_init is not None else None)
     x1_hat = init_vec
     r1 = init_vec
 
-    y_raw = jnp.asarray(np.asarray(y, dtype=np.float64))
+    y_raw = jnp.asarray(np.asarray(y, dtype=np.float64), dtype=wd)
     y_adj = y_raw
 
     prior = init_prior(cfg.probs, cfg.vars, N)
@@ -229,7 +243,7 @@ def infere_linear(
             np.asarray(y), np.zeros(N), covariates, np.zeros(cfg.C),
             probit_var=cfg.probit_var, verbosity=cfg.verbosity,
         )
-        y_adj = jnp.asarray(np.asarray(y) - covariates @ cov_eff)
+        y_adj = jnp.asarray(np.asarray(y) - covariates @ cov_eff, dtype=wd)
 
     out_params = out_metrics = out_prior = None
     if write_outputs:
@@ -269,8 +283,8 @@ def infere_linear(
         # fresh Rademacher trace probe (seeded; fixes reference quirk Q4)
         key, sub = jax.random.split(key)
         bern = (
-            jax.random.rademacher(sub, (M_pad,), dtype=jnp.float64)
-            / np.sqrt(float(Mt))
+            jax.random.rademacher(sub, (M_pad,), dtype=wd)
+            * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
         ) * dm.mmask
 
         x1_prev = x1_hat
@@ -290,8 +304,8 @@ def infere_linear(
 
         # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and the
         # r1 that was denoised this iteration, also /sqrt(N)
-        x1_scaled = np.asarray(x1_hat)[:Mt] / sqrt_n
-        r1_scaled = np.asarray(r1_in)[:Mt] / sqrt_n
+        x1_scaled = np.asarray(x1_hat, dtype=np.float64)[:Mt] / sqrt_n
+        r1_scaled = np.asarray(r1_in, dtype=np.float64)[:Mt] / sqrt_n
 
         if write_outputs:
             write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
@@ -326,8 +340,9 @@ def infere_linear(
         it_done = it
 
         # stopping criterion (src/vamp.cpp:405-423)
-        diff = np.asarray(x1_hat - x1_prev)
-        denom = float(np.dot(np.asarray(x1_prev), np.asarray(x1_prev)))
+        diff = np.asarray(x1_hat - x1_prev, dtype=np.float64)
+        x1p = np.asarray(x1_prev, dtype=np.float64)
+        denom = float(np.dot(x1p, x1p))
         nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
         _log(verbose, f"x1_hat NMSE = {nmse}")
         if it > 1 and nmse < cfg.stop_criteria_thr:

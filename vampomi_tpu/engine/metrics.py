@@ -17,19 +17,23 @@ def _corr(a, b):
 
 
 def signal_metrics(x_hat, true_signal, n):
-    """Corr(x_hat, x0) and L2 error of x_hat/sqrt(N) vs x0 (file units)."""
-    corr = _corr(x_hat, true_signal)
-    diff = x_hat / jnp.sqrt(n) - true_signal
-    ts2 = jnp.dot(true_signal, true_signal)
+    """Corr(x_hat, x0) and L2 error of x_hat/sqrt(N) vs x0 (file units).
+    All vector math stays in x_hat's dtype; outputs are f64 scalars."""
+    ts = true_signal.astype(x_hat.dtype)
+    inv_sqrt_n = (1.0 / jnp.sqrt(jnp.asarray(n, jnp.float64))).astype(x_hat.dtype)
+    corr = _corr(x_hat, ts)
+    diff = x_hat * inv_sqrt_n - ts
+    ts2 = jnp.dot(ts, ts)
     l2 = jnp.sqrt(jnp.dot(diff, diff) / jnp.where(ts2 == 0.0, 1.0, ts2))
-    return corr, l2
+    return corr.astype(jnp.float64), l2.astype(jnp.float64)
 
 
 def prediction_metrics(z_hat, y):
-    """R2 = 1 - ||y - z||^2 / ||y||^2 and Corr(z, y)^2."""
-    resid = y - z_hat
-    r2 = 1.0 - jnp.dot(resid, resid) / jnp.dot(y, y)
-    c = _corr(z_hat, y)
+    """R2 = 1 - ||y - z||^2 / ||y||^2 and Corr(z, y)^2 (f64 scalars)."""
+    yc = y.astype(z_hat.dtype)
+    resid = yc - z_hat
+    r2 = 1.0 - (jnp.dot(resid, resid) / jnp.dot(yc, yc)).astype(jnp.float64)
+    c = _corr(z_hat, yc).astype(jnp.float64)
     return r2, c * c
 
 

@@ -71,40 +71,53 @@ def _probit_phase(
     true_signal_scaled,   # sqrt(N) * beta, padded
     cg_max_iter, cg_err_tol,
 ):
-    sqrt_n = jnp.sqrt(dm.n)
+    # Dtype policy: M/N vectors in the work dtype; scalars f64 (see
+    # engine/linear.py).
+    wd = dm.wd
+    c = lambda s: jnp.asarray(s).astype(wd)  # noqa: E731
+    r1 = r1.astype(wd)
+    r2 = r2.astype(wd)
+    p1 = p1.astype(wd)
+    p2 = p2.astype(wd)
+    y = y.astype(wd)
+    m_cov = m_cov.astype(wd)
+    x1_hat_prev = x1_hat_prev.astype(wd)
+    bern = bern.astype(wd)
+    ts = true_signal_scaled.astype(wd)
+    inv_sqrt_n = c(1.0 / jnp.sqrt(dm.n))
 
     # ---------- denoise x (src/vamp_probit.cpp:97-165) ----------
     x1_new = g1(r1, gam1, prior)
-    alpha1_new = jnp.sum(g1d(r1, gam1, prior) * dm.mmask) / dm.mt
+    alpha1_new = jnp.sum(g1d(r1, gam1, prior) * dm.mmask).astype(jnp.float64) / dm.mt
     eta1 = gam1 / alpha1_new  # uses UNdamped alpha1 (line 130)
 
-    x1_hat = jnp.where(damp, rho * x1_new + (1.0 - rho) * x1_hat_prev, x1_new)
+    x1_hat = jnp.where(damp, c(rho) * x1_new + c(1.0 - rho) * x1_hat_prev, x1_new)
     alpha1 = jnp.where(damp, rho * alpha1_new + (1.0 - rho) * alpha1_prev, alpha1_new)
 
     def corr(a, b):
         den = jnp.sqrt(jnp.dot(a, a) * jnp.dot(b, b))
-        return jnp.dot(a, b) / jnp.where(den == 0.0, 1.0, den)
+        return (jnp.dot(a, b) / jnp.where(den == 0.0, 1.0, den)).astype(jnp.float64)
 
-    x1_corr = corr(x1_hat, true_signal_scaled)
+    x1_corr = corr(x1_hat, ts)
 
     gam2 = _clamp(eta1 - gam1)
-    r2_new = (eta1 * x1_hat - gam1 * r1) / gam2
+    r2_new = (c(eta1) * x1_hat - c(gam1) * r1) / c(gam2)
 
     # ---------- denoise z (src/vamp_probit.cpp:200-253) ----------
-    z1_hat = g1_bin_class(p1, tau1, y, m_cov, probit_var)
-    beta1 = jnp.sum(g1d_bin_class(p1, tau1, y, m_cov, probit_var))
+    z1_hat = g1_bin_class(p1, c(tau1), y, m_cov, c(probit_var))
+    beta1 = jnp.sum(g1d_bin_class(p1, c(tau1), y, m_cov, c(probit_var))).astype(jnp.float64)
     beta1 = jnp.where(beta1 >= dm.n, dm.n - 1.0, beta1) / dm.n
-    p2_new = (z1_hat - beta1 * p1) / (1.0 - beta1)
+    p2_new = (z1_hat - c(beta1) * p1) / c(1.0 - beta1)
     tau2 = tau1 * (1.0 - beta1) / beta1
 
     # metrics, denoising half (src/vamp_probit.cpp:269-287)
-    z1_pred = ax(dm, x1_hat / sqrt_n)
-    y1_hat = (jax.scipy.stats.norm.cdf(z1_pred) >= 0.5).astype(jnp.float64)
+    z1_pred = ax(dm, x1_hat * inv_sqrt_n)
+    y1_hat = (jax.scipy.stats.norm.cdf(z1_pred) >= 0.5).astype(wd)
     tp1, tn1, fp1, fn1 = confusion_counts(y, y1_hat)
-    acc1 = (tp1 + tn1) / dm.n
+    acc1 = ((tp1 + tn1) / dm.n).astype(jnp.float64)
 
     # ---------- LMMSE x (src/vamp_probit.cpp:291-346) ----------
-    v = tau2 * atx(dm, p2_new) + gam2 * r2_new
+    v = c(tau2) * atx(dm, p2_new) + c(gam2) * r2_new
     V = jnp.stack([v, bern], axis=1)
     MU0 = jnp.zeros_like(V)  # probit CG starts from zero every iteration
     res = cg_solve(
@@ -114,24 +127,24 @@ def _probit_phase(
     )
     x2_hat = res.mu[:, 0]
     invq_bern = res.mu[:, 1]
-    alpha2 = gam2 * jnp.dot(bern, invq_bern)
+    alpha2 = gam2 * jnp.dot(bern, invq_bern).astype(jnp.float64)
 
-    x2_corr = corr(x2_hat, true_signal_scaled)
+    x2_corr = corr(x2_hat, ts)
 
-    r1_new = (x2_hat - alpha2 * r2_new) / (1.0 - alpha2)
+    r1_new = (x2_hat - c(alpha2) * r2_new) / c(1.0 - alpha2)
     gam1_new = _clamp(gam2 * (1.0 - alpha2) / alpha2)
 
     # ---------- LMMSE z (src/vamp_probit.cpp:351-376) ----------
     z2_hat = ax(dm, x2_hat)
     beta2 = dm.mt / dm.n * (1.0 - alpha2)
-    p1_new = (z2_hat - beta2 * p2_new) / (1.0 - beta2)
+    p1_new = (z2_hat - c(beta2) * p2_new) / c(1.0 - beta2)
     tau1_new = _clamp(tau2 * (1.0 - beta2) / beta2)
 
     # metrics, LMMSE half (src/vamp_probit.cpp:402-420)
-    z2_pred = ax(dm, x2_hat / sqrt_n)
-    y2_hat = (jax.scipy.stats.norm.cdf(z2_pred) >= 0.5).astype(jnp.float64)
+    z2_pred = ax(dm, x2_hat * inv_sqrt_n)
+    y2_hat = (jax.scipy.stats.norm.cdf(z2_pred) >= 0.5).astype(wd)
     tp2, tn2, fp2, fn2 = confusion_counts(y, y2_hat)
-    acc2 = (tp2 + tn2) / dm.n
+    acc2 = ((tp2 + tn2) / dm.n).astype(jnp.float64)
 
     metrics = jnp.stack(
         [
@@ -166,22 +179,23 @@ def infere_bin_class(
     Mt = int(dm.mt)
     N = int(dm.n)
     sqrt_n = float(np.sqrt(N))
+    wd = dm.wd
     verbose = True
 
     def pad_m(vec):
         out = np.zeros(M_pad, dtype=np.float64)
         if vec is not None:
             out[: len(vec)] = vec
-        return jnp.asarray(out)
+        return jnp.asarray(out, dtype=wd)
 
-    ts_scaled = pad_m(true_signal) * sqrt_n  # src/vamp_probit.cpp:43-45
-    init_vec = pad_m(x1hat_init) / sqrt_n
+    ts_scaled = pad_m(np.asarray(true_signal) * sqrt_n if true_signal is not None else None)
+    init_vec = pad_m(np.asarray(x1hat_init) / sqrt_n if x1hat_init is not None else None)
     x1_hat = init_vec
-    r1 = jnp.zeros(M_pad)   # src/vamp_probit.cpp:55
-    r2 = jnp.zeros(M_pad)
+    r1 = jnp.zeros(M_pad, dtype=wd)   # src/vamp_probit.cpp:55
+    r2 = jnp.zeros(M_pad, dtype=wd)
     alpha1 = jnp.asarray(0.0)
 
-    y_j = jnp.asarray(np.asarray(y, dtype=np.float64))
+    y_j = jnp.asarray(np.asarray(y, dtype=np.float64), dtype=wd)
     prior = init_prior(cfg.probs, cfg.vars, N)
     gam1 = jnp.asarray(float(cfg.gam1))
     tau1 = gam1  # src/vamp_probit.cpp:35
@@ -191,17 +205,17 @@ def infere_bin_class(
 
     key = jax.random.PRNGKey(cfg.seed)
     key, sub = jax.random.split(key)
-    p1 = jax.random.normal(sub, (N,), dtype=jnp.float64)  # src/vamp_probit.cpp:53
-    p2 = jnp.zeros(N)
+    p1 = jax.random.normal(sub, (N,), dtype=wd)  # src/vamp_probit.cpp:53
+    p2 = jnp.zeros(N, dtype=wd)
 
     cov_eff = None
-    m_cov = jnp.zeros(N)
+    m_cov = jnp.zeros(N, dtype=wd)
     if cfg.C > 0 and covariates is not None and covariates.shape[1] > 0:
         cov_eff = newton_method_cov(
             np.asarray(y), np.zeros(N), covariates, np.zeros(cfg.C),
             probit_var=cfg.probit_var, verbosity=cfg.verbosity,
         )
-        m_cov = jnp.asarray(covariates @ cov_eff)
+        m_cov = jnp.asarray(covariates @ cov_eff, dtype=wd)
 
     out_params = out_metrics = out_prior = None
     if write_outputs:
@@ -225,8 +239,8 @@ def infere_bin_class(
 
         key, sub = jax.random.split(key)
         bern = (
-            jax.random.rademacher(sub, (M_pad,), dtype=jnp.float64)
-            / np.sqrt(float(Mt))
+            jax.random.rademacher(sub, (M_pad,), dtype=wd)
+            * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
         ) * dm.mmask
 
         x1_prev = x1_hat
@@ -263,8 +277,8 @@ def infere_bin_class(
         p1, p2 = out["p1"], out["p2"]
         gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
 
-        x1_scaled = np.asarray(x1_hat)[:Mt] / sqrt_n
-        r1_scaled = np.asarray(r1_in)[:Mt] / sqrt_n
+        x1_scaled = np.asarray(x1_hat, dtype=np.float64)[:Mt] / sqrt_n
+        r1_scaled = np.asarray(r1_in, dtype=np.float64)[:Mt] / sqrt_n
         if write_outputs:
             write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
             write_bin_slab(
@@ -288,8 +302,9 @@ def infere_bin_class(
 
         it_done = it
 
-        diff = np.asarray(x1_hat - x1_prev)
-        denom = float(np.dot(np.asarray(x1_prev), np.asarray(x1_prev)))
+        diff = np.asarray(x1_hat - x1_prev, dtype=np.float64)
+        x1p = np.asarray(x1_prev, dtype=np.float64)
+        denom = float(np.dot(x1p, x1p))
         nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
         _log(verbose, f"x1_hat NMSE = {nmse}")
         if it > 1 and nmse < cfg.stop_criteria_thr:

@@ -51,11 +51,14 @@ def linear_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n: int) -> np.ndarray:
 
 @jax.jit
 def _loo_stats(dm, y_mod):
-    """Per-marker raw-X moments and the X @ y_mod matvec, one fused pass."""
-    Xf = dm.X.astype(jnp.float64)
-    sumx = jnp.sum(Xf, axis=1)
-    sumsqx = jnp.sum(Xf * Xf, axis=1)
-    xy = Xf @ y_mod
+    """Per-marker raw-X moments and the X @ y_mod matvec, one fused pass
+    (work dtype on device; f64 only for the O(M) outputs)."""
+    acc = jnp.float32 if dm.X.dtype == jnp.bfloat16 else dm.X.dtype
+    sumx = jnp.sum(dm.X.astype(acc), axis=1).astype(jnp.float64)
+    sumsqx = jnp.sum(dm.X.astype(acc) * dm.X.astype(acc), axis=1).astype(jnp.float64)
+    xy = jnp.einsum(
+        "mn,n->m", dm.X, y_mod.astype(dm.X.dtype), preferred_element_type=acc
+    ).astype(jnp.float64)
     return sumx, sumsqx, xy
 
 

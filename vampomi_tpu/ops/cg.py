@@ -12,12 +12,15 @@ Mirrors the reference `vamp::precondCG_solver` (src/vamp.cpp:664-757):
   * the `denoiser == 0` variant's early exit when the running Hutchinson
     estimate gam2 ⟨v, mu⟩ stabilizes to rel-err 1e-8 (src/vamp.cpp:708-726).
 
-TPU-first extension: the solver is **multi-RHS**.  K right-hand sides are
-solved simultaneously with per-column alpha/beta and per-column stopping, so
-the two CG solves of each VAMP iteration (the main LMMSE solve and the
-Onsager trace-probe solve) share every pass over the M×N matrix — halving
-HBM traffic per iteration relative to the reference's serial structure while
-producing the same per-column iterates (CG columns are independent).
+TPU-first extensions:
+  * **multi-RHS**: K right-hand sides are solved simultaneously with
+    per-column alpha/beta and per-column stopping, so the two CG solves of
+    each VAMP iteration (the main LMMSE solve and the Onsager trace-probe
+    solve) share every pass over the M×N matrix — halving HBM traffic per
+    iteration relative to the reference's serial structure while producing
+    the same per-column iterates (CG columns are independent);
+  * **dtype policy**: all (M, K) vector math runs in the operator's work
+    dtype (f32 on TPU); only the scalar convergence bookkeeping is f64.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ _ONSAGER_REL_TOL = 1e-8  # reference: src/vamp.cpp:718
 class CGResult(NamedTuple):
     mu: jax.Array        # (M, K) solution iterates
     iters: jax.Array     # () int — CG iterations executed
-    rel_err: jax.Array   # (K,) final ||r|| / ||v|| per column
+    rel_err: jax.Array   # (K,) final ||r|| / ||v|| per column (f64)
 
 
 def cg_solve(
@@ -55,24 +58,27 @@ def cg_solve(
     onsager_cols: optional (K,) bool — columns using the denoiser==0 early
     exit on gam2·⟨v, mu⟩ stabilization in addition to the residual test.
     """
-    v = v if v.ndim == 2 else v[:, None]
-    mu0 = mu0 if mu0.ndim == 2 else mu0[:, None]
+    wd = dm.wd
+    v = (v if v.ndim == 2 else v[:, None]).astype(wd)
+    mu0 = (mu0 if mu0.ndim == 2 else mu0[:, None]).astype(wd)
     K = v.shape[1]
     if onsager_cols is None:
         onsager_cols = jnp.zeros((K,), dtype=bool)
 
-    tau = jnp.asarray(tau, dtype=jnp.float64)
-    gam2 = jnp.asarray(gam2, dtype=jnp.float64)
-    diag = tau * (dm.n - 1.0) / dm.n + gam2  # scalar Jacobi preconditioner
+    tau64 = jnp.asarray(tau, dtype=jnp.float64)
+    gam264 = jnp.asarray(gam2, dtype=jnp.float64)
+    gam2_c = gam264.astype(wd)
+    diag = (tau64 * (dm.n - 1.0) / dm.n + gam264).astype(wd)  # scalar precond
+    inv_diag = 1.0 / diag
 
-    def colsum(a, b):  # per-column inner products ⟨a_k, b_k⟩
+    def colsum(a, b):  # per-column inner products ⟨a_k, b_k⟩ in work dtype
         return jnp.sum(a * b, axis=0)
 
-    norm_v = jnp.sqrt(colsum(v, v))
+    norm_v = jnp.sqrt(colsum(v, v)).astype(jnp.float64)
     safe_norm_v = jnp.where(norm_v == 0.0, 1.0, norm_v)
 
-    r0 = v - normal_eq_mult(dm, mu0, tau, gam2)
-    z0 = r0 / diag
+    r0 = v - normal_eq_mult(dm, mu0, tau64, gam264)
+    z0 = r0 * inv_diag
     p0 = z0
     rz0 = colsum(r0, z0)
 
@@ -103,15 +109,16 @@ def cg_solve(
         return jnp.logical_and(s.i < max_iter, jnp.any(s.active))
 
     def body(s: State) -> State:
-        d = normal_eq_mult(dm, s.p, tau, gam2)
+        d = normal_eq_mult(dm, s.p, tau64, gam264)
         dp = colsum(d, s.p)
         alpha = s.rz / jnp.where(dp == 0.0, 1.0, dp)
-        alpha = jnp.where(s.active, alpha, 0.0)
+        alpha = jnp.where(s.active, alpha, 0.0).astype(wd)
 
         mu = s.mu + alpha[None, :] * s.p
 
         # denoiser == 0 early exit: running Onsager estimate stabilized.
-        ons = gam2 * colsum(v, mu)
+        # (scalar bookkeeping in f64 so the 1e-8 tolerance is resolvable)
+        ons = (gam2_c * colsum(v, mu)).astype(jnp.float64)
         ons_rel = jnp.where(
             ons != 0.0, jnp.abs((ons - s.prev_ons) / jnp.where(ons == 0.0, 1.0, ons)), 1.0
         )
@@ -120,13 +127,15 @@ def cg_solve(
 
         upd = still[None, :]
         r = jnp.where(upd, s.r - alpha[None, :] * d, s.r)
-        z = jnp.where(upd, r / diag, s.z)
+        z = jnp.where(upd, r * inv_diag, s.z)
         rz_new = colsum(r, z)
-        beta = rz_new / jnp.where(s.rz == 0.0, 1.0, s.rz)
+        beta = (rz_new / jnp.where(s.rz == 0.0, 1.0, s.rz)).astype(wd)
         p = jnp.where(upd, z + beta[None, :] * s.p, s.p)
 
         rel_err = jnp.where(
-            still, jnp.sqrt(colsum(r, r)) / safe_norm_v, s.rel_err
+            still,
+            jnp.sqrt(colsum(r, r)).astype(jnp.float64) / safe_norm_v,
+            s.rel_err,
         )
         active = jnp.logical_and(still, rel_err >= tol)
 

@@ -17,9 +17,12 @@ Communication: `A x` contracts the sharded M dim → XLA inserts one
 all-reduce of an N-vector (== the reference's MPI_Allreduce(N),
 src/data.cpp:367).  `A^T y` is communication-free (y replicated).
 
-Precision: X is held in a compute dtype (f32 by default on TPU, f64 for the
-CPU oracle; bf16 with f32 accumulation for max throughput).  All results are
-returned as float64 scalars/vectors for the VAMP bookkeeping.
+Precision policy (the load-bearing TPU design decision): every M- or
+N-length vector lives in the *compute dtype* (f32 by default on TPU, f64
+for the CPU correctness oracle, bf16 optional).  TPUs only emulate f64, and
+emulated f64 vector ops measured ~1000x slower than f32 on the target
+platform — so f64 appears ONLY in scalar bookkeeping.  The standardization
+statistics are computed in f64 on the host and then cast once.
 """
 
 from __future__ import annotations
@@ -37,21 +40,23 @@ from ..sharding import MARKER_AXIS, distribute, pad_to_multiple
 class DesignMatrix(NamedTuple):
     """Pytree holding the raw data and the fused standardization vectors.
 
-    Attributes
-    ----------
-    X     : (M_pad, N) raw marker data, compute dtype, sharded over "m".
-    mave  : (M_pad,) per-marker mean (f64), sharded over "m".
-    msig  : (M_pad,) per-marker inverse sd (or 1/sd^alpha), f64; ZERO for
-            padding markers so padded columns of A are exactly 0.
-    mmask : (M_pad,) 1.0 for real markers, 0.0 for padding (f64).
-    n     : () number of samples as f64 scalar.
-    mt    : () number of (true, unpadded) markers as f64 scalar.
+    All vector fields are in the compute dtype; `n`/`mt` are f64 scalars
+    (scalar f64 is cheap even when emulated).
+
+    X          : (M_pad, N) raw marker data, sharded over "m".
+    mave       : (M_pad,) per-marker mean.
+    msig       : (M_pad,) per-marker inverse sd (or 1/sd^alpha); ZERO for
+                 padding markers so padded columns of A are exactly 0.
+    mmask      : (M_pad,) 1.0 for real markers, 0.0 for padding.
+    inv_sqrt_n : () 1/sqrt(N) in compute dtype.
+    n, mt      : () f64 — sample count and true (unpadded) marker count.
     """
 
     X: jax.Array
     mave: jax.Array
     msig: jax.Array
     mmask: jax.Array
+    inv_sqrt_n: jax.Array
     n: jax.Array
     mt: jax.Array
 
@@ -63,9 +68,11 @@ class DesignMatrix(NamedTuple):
     def n_samples(self) -> int:
         return self.X.shape[1]
 
-
-def _cast_in(dm: DesignMatrix, v: jax.Array) -> jax.Array:
-    return v.astype(dm.X.dtype)
+    @property
+    def wd(self):
+        """Work dtype for vector math: f32 when X is bf16 (bf16 buys HBM
+        bandwidth on the big matrix; the small vectors stay f32)."""
+        return jnp.float32 if self.X.dtype == jnp.bfloat16 else self.X.dtype
 
 
 def _accum_dtype(dm: DesignMatrix):
@@ -74,53 +81,55 @@ def _accum_dtype(dm: DesignMatrix):
 
 
 def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
-    """z = A x, with x of shape (..., M_pad) or (M_pad,). Returns f64 (N,).
+    """z = A x for x (M_pad,) → (N,), in the work dtype.
 
     Matches reference `data::Ax` (src/data.cpp:340-373): per-marker
     (X_j - mu_j) * sigma_inv_j * x_j accumulated over markers, then / sqrt(N).
     """
-    w = dm.msig * x  # f64 elementwise, sharded over m
-    wc = _cast_in(dm, w)
+    w = dm.msig * x.astype(dm.wd)
     z = jnp.einsum(
-        "m,mn->n", wc, dm.X, preferred_element_type=_accum_dtype(dm)
-    ).astype(jnp.float64)
-    corr = jnp.dot(dm.mave, w)  # scalar, f64
-    return (z - corr) / jnp.sqrt(dm.n)
+        "m,mn->n", w.astype(dm.X.dtype), dm.X,
+        preferred_element_type=_accum_dtype(dm),
+    )
+    corr = jnp.dot(dm.mave, w)
+    return (z.astype(dm.wd) - corr.astype(dm.wd)) * dm.inv_sqrt_n
 
 
 def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
-    """v = A^T y for y (N,). Returns f64 (M_pad,), padded entries exactly 0.
+    """v = A^T y for y (N,) → (M_pad,), padded entries exactly 0.
 
     Matches reference `data::ATx` (src/data.cpp:315-333).
     """
-    yc = _cast_in(dm, y)
+    yc = y.astype(dm.wd)
     xy = jnp.einsum(
-        "mn,n->m", dm.X, yc, preferred_element_type=_accum_dtype(dm)
-    ).astype(jnp.float64)
-    v = dm.msig * (xy - dm.mave * jnp.sum(y))
-    return v / jnp.sqrt(dm.n)
+        "mn,n->m", dm.X, yc.astype(dm.X.dtype),
+        preferred_element_type=_accum_dtype(dm),
+    )
+    v = dm.msig * (xy.astype(dm.wd) - dm.mave * jnp.sum(yc))
+    return v * dm.inv_sqrt_n
 
 
 def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
     """A @ xs for xs (M_pad, K) → (N, K). Shares the HBM pass over X across
     the K right-hand sides (the multi-RHS CG building block)."""
-    w = dm.msig[:, None] * xs
-    wc = _cast_in(dm, w)
+    w = dm.msig[:, None] * xs.astype(dm.wd)
     z = jnp.einsum(
-        "mk,mn->nk", wc, dm.X, preferred_element_type=_accum_dtype(dm)
-    ).astype(jnp.float64)
+        "mk,mn->nk", w.astype(dm.X.dtype), dm.X,
+        preferred_element_type=_accum_dtype(dm),
+    )
     corr = dm.mave @ w  # (K,)
-    return (z - corr[None, :]) / jnp.sqrt(dm.n)
+    return (z.astype(dm.wd) - corr[None, :].astype(dm.wd)) * dm.inv_sqrt_n
 
 
 def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
     """A^T @ ys for ys (N, K) → (M_pad, K)."""
-    yc = _cast_in(dm, ys)
+    yc = ys.astype(dm.wd)
     xy = jnp.einsum(
-        "mn,nk->mk", dm.X, yc, preferred_element_type=_accum_dtype(dm)
-    ).astype(jnp.float64)
-    v = dm.msig[:, None] * (xy - jnp.outer(dm.mave, jnp.sum(ys, axis=0)))
-    return v / jnp.sqrt(dm.n)
+        "mn,nk->mk", dm.X, yc.astype(dm.X.dtype),
+        preferred_element_type=_accum_dtype(dm),
+    )
+    v = dm.msig[:, None] * (xy.astype(dm.wd) - jnp.outer(dm.mave, jnp.sum(yc, axis=0)))
+    return v * dm.inv_sqrt_n
 
 
 def normal_eq_mult(dm: DesignMatrix, v: jax.Array, tau, gam2) -> jax.Array:
@@ -129,26 +138,69 @@ def normal_eq_mult(dm: DesignMatrix, v: jax.Array, tau, gam2) -> jax.Array:
     Reference `vamp::lmmse_mult` (src/vamp.cpp:645-662).  Accepts (M_pad,)
     or (M_pad, K); K right-hand sides share the two passes over X.
     """
+    tau_c = jnp.asarray(tau).astype(dm.wd)
+    gam2_c = jnp.asarray(gam2).astype(dm.wd)
+    vc = v.astype(dm.wd)
     if v.ndim == 1:
-        return tau * atx(dm, ax(dm, v)) + gam2 * v
-    return tau * atx_batch(dm, ax_batch(dm, v)) + gam2 * v
+        return tau_c * atx(dm, ax(dm, vc)) + gam2_c * vc
+    return tau_c * atx_batch(dm, ax_batch(dm, vc)) + gam2_c * vc
 
 
 def compute_marker_stats(
     X: jax.Array, n_used: int, alpha_scale: float = 1.0
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-marker mean and inverse-sd (1/sd or 1/sd^alpha).
+    """Per-marker mean and inverse-sd (1/sd or 1/sd^alpha), on device.
 
     Matches reference `data::compute_markers_statistics`
     (src/data.cpp:233-283): sd uses the (nonas - 1) denominator; zero-variance
     markers get msig = 1.
     """
-    Xf = X.astype(jnp.float64)
+    Xf = X
     mave = jnp.sum(Xf, axis=1) / n_used
     sumsqr = jnp.sum((Xf - mave[:, None]) ** 2, axis=1)
     sd = jnp.sqrt(sumsqr / (n_used - 1.0))
     inv = jnp.where(sumsqr != 0.0, 1.0 / jnp.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
     return mave, inv
+
+
+def _host_stats(X_raw: np.ndarray, alpha_scale: float):
+    """f64 host-side standardization statistics (bit-faithful regardless of
+    the on-device compute dtype)."""
+    stats = np.asarray(X_raw, dtype=np.float64)
+    n = stats.shape[1]
+    mave = stats.sum(axis=1) / n
+    sumsqr = ((stats - mave[:, None]) ** 2).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        sd = np.sqrt(sumsqr / (n - 1.0))
+        inv = np.where(sumsqr != 0.0, 1.0 / np.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
+    return mave, inv
+
+
+def _vector_dtype(compute_dtype):
+    return jnp.float32 if jnp.dtype(compute_dtype) == jnp.bfloat16 else jnp.dtype(compute_dtype)
+
+
+def _assemble(X_host, mave_host, msig_host, mmask_host, n, mt, mesh, compute_dtype):
+    vd = np.dtype(_vector_dtype(compute_dtype))
+    if mesh is not None:
+        X = distribute(X_host, mesh, P(MARKER_AXIS, None))
+        mave = distribute(mave_host.astype(vd), mesh, P(MARKER_AXIS))
+        msig = distribute(msig_host.astype(vd), mesh, P(MARKER_AXIS))
+        mmask = distribute(mmask_host.astype(vd), mesh, P(MARKER_AXIS))
+    else:
+        X = jnp.asarray(X_host)
+        mave = jnp.asarray(mave_host.astype(vd))
+        msig = jnp.asarray(msig_host.astype(vd))
+        mmask = jnp.asarray(mmask_host.astype(vd))
+    return DesignMatrix(
+        X=X,
+        mave=mave,
+        msig=msig,
+        mmask=mmask,
+        inv_sqrt_n=jnp.asarray(1.0 / np.sqrt(float(n)), dtype=vd),
+        n=jnp.asarray(float(n), dtype=jnp.float64),
+        mt=jnp.asarray(float(mt), dtype=jnp.float64),
+    )
 
 
 def build_design(
@@ -171,50 +223,20 @@ def build_design(
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     M_pad = pad_to_multiple(Mt_true, n_shards)
 
-    Xp = np.zeros((M_pad, N), dtype=np.dtype(compute_dtype)) if M_pad != Mt_true else None
-    if Xp is not None:
-        Xp[:Mt_true] = np.asarray(X_raw, dtype=np.dtype(compute_dtype))
-        X_host = Xp
+    cd = np.dtype(compute_dtype)
+    if M_pad != Mt_true:
+        X_host = np.zeros((M_pad, N), dtype=cd)
+        X_host[:Mt_true] = np.asarray(X_raw, dtype=cd)
     else:
-        X_host = np.asarray(X_raw, dtype=np.dtype(compute_dtype))
+        X_host = np.asarray(X_raw, dtype=cd)
 
+    mave_host = np.zeros((M_pad,), dtype=np.float64)
+    msig_host = np.zeros((M_pad,), dtype=np.float64)
+    mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
     mmask_host = np.zeros((M_pad,), dtype=np.float64)
     mmask_host[:Mt_true] = 1.0
 
-    if mesh is not None:
-        X = distribute(X_host, mesh, P(MARKER_AXIS, None))
-        mmask = distribute(mmask_host, mesh, P(MARKER_AXIS))
-    else:
-        X = jnp.asarray(X_host)
-        mmask = jnp.asarray(mmask_host)
-
-    # Stats in f64 from the raw (unpadded) data for bit-faithful
-    # standardization even when X is stored narrow.
-    stats_src = np.asarray(X_raw, dtype=np.float64)
-    mave_host = np.zeros((M_pad,), dtype=np.float64)
-    msig_host = np.zeros((M_pad,), dtype=np.float64)
-    mave_host[:Mt_true] = stats_src.sum(axis=1) / N
-    sumsqr = ((stats_src - mave_host[:Mt_true, None]) ** 2).sum(axis=1)
-    with np.errstate(divide="ignore"):
-        sd = np.sqrt(sumsqr / (N - 1.0))
-        inv = np.where(sumsqr != 0.0, 1.0 / np.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
-    msig_host[:Mt_true] = inv
-
-    if mesh is not None:
-        mave = distribute(mave_host, mesh, P(MARKER_AXIS))
-        msig = distribute(msig_host, mesh, P(MARKER_AXIS))
-    else:
-        mave = jnp.asarray(mave_host)
-        msig = jnp.asarray(msig_host)
-
-    return DesignMatrix(
-        X=X,
-        mave=mave,
-        msig=msig,
-        mmask=mmask,
-        n=jnp.asarray(float(N), dtype=jnp.float64),
-        mt=jnp.asarray(float(Mt_true), dtype=jnp.float64),
-    )
+    return _assemble(X_host, mave_host, msig_host, mmask_host, N, Mt_true, mesh, compute_dtype)
 
 
 def build_design_multihost(
@@ -237,13 +259,13 @@ def build_design_multihost(
     idx = np.arange(global_start, global_start + per)
     real = idx < mt
 
-    mave_l = np.where(real, local_rows.sum(axis=1) / n, 0.0)
-    sumsqr = ((local_rows - mave_l[:, None]) ** 2).sum(axis=1)
-    with np.errstate(divide="ignore"):
-        sd = np.sqrt(sumsqr / (n - 1.0))
-        inv = np.where(sumsqr != 0.0, 1.0 / np.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
-    msig_l = np.where(real, inv, 0.0)
+    mave_l, msig_l = _host_stats(local_rows, alpha_scale)
+    mave_l = np.where(real, mave_l, 0.0)
+    msig_l = np.where(real, msig_l, 0.0)
     mmask_l = real.astype(np.float64)
+
+    cd = np.dtype(compute_dtype)
+    vd = np.dtype(_vector_dtype(compute_dtype))
 
     def g(local, spec, dtype):
         sh = NamedSharding(mesh, spec)
@@ -251,12 +273,12 @@ def build_design_multihost(
             sh, np.asarray(local, dtype=dtype)
         )
 
-    X = g(local_rows, P(MARKER_AXIS, None), np.dtype(compute_dtype))
     return DesignMatrix(
-        X=X,
-        mave=g(mave_l, P(MARKER_AXIS), np.float64),
-        msig=g(msig_l, P(MARKER_AXIS), np.float64),
-        mmask=g(mmask_l, P(MARKER_AXIS), np.float64),
+        X=g(local_rows, P(MARKER_AXIS, None), cd),
+        mave=g(mave_l, P(MARKER_AXIS), vd),
+        msig=g(msig_l, P(MARKER_AXIS), vd),
+        mmask=g(mmask_l, P(MARKER_AXIS), vd),
+        inv_sqrt_n=jnp.asarray(1.0 / np.sqrt(float(n)), dtype=vd),
         n=jnp.asarray(float(n), dtype=jnp.float64),
         mt=jnp.asarray(float(mt), dtype=jnp.float64),
     )

@@ -5,6 +5,10 @@ Math follows the reference exactly, including its numerical stabilization:
 the largest mixture variance ("eta_max") is factored out of every exponent so
 arguments stay bounded where a naive form would overflow
 (reference: src/vamp.cpp:440-492 g1/g1d, src/vamp.cpp:531-643 updatePrior).
+The same factoring makes every exponent ≤ 0, which keeps the (M, L) math
+safe in float32 — the work dtype on TPU (f64 vector math is emulated and
+~1000x slower there; hyperparameters and sufficient statistics stay f64,
+they are O(L) scalars).
 
 Dynamic-shape policy: the reference erases merged mixture components from
 std::vectors (src/vamp.cpp:627-642).  Under jit we keep a fixed component
@@ -30,7 +34,8 @@ _SIGMA_TINY = 1e-10  # reference: src/vamp.cpp:446 shortcut when 1/gam1 ~ 0
 
 
 class MixturePrior(NamedTuple):
-    """Pytree of mixture hyperparameters with a fixed max component count."""
+    """Pytree of mixture hyperparameters with a fixed max component count.
+    probs/vars are f64 (O(L) scalars)."""
 
     probs: jax.Array   # (L,) f64, dead slots 0
     vars: jax.Array    # (L,) f64, scaled by N
@@ -41,37 +46,37 @@ class MixturePrior(NamedTuple):
         return self.probs.shape[0]
 
 
-def _eta_max(prior: MixturePrior) -> jax.Array:
-    return jnp.max(jnp.where(prior.active, prior.vars, -jnp.inf))
+def _terms(y: jax.Array, gam1, prior: MixturePrior):
+    """Common per-component quantities in y's dtype.
 
-
-def _component_terms(y: jax.Array, sigma, prior: MixturePrior):
-    """z_j(y) = probs_j / sqrt(vars_j + sigma) * exp(stabilized exponent),
-    masked to 0 for inactive components.  y: (M,), returns (M, L)."""
-    eta_max = _eta_max(prior)
-    v = prior.vars[None, :]
+    Returns (sigma, v, z, pk_terms_mask) with z_j(y) = probs_j /
+    sqrt(vars_j + sigma) * exp(stabilized exponent), 0 for inactive slots.
+    """
+    wd = y.dtype
+    sigma = (1.0 / jnp.asarray(gam1, dtype=jnp.float64)).astype(wd)
+    eta_max = jnp.max(jnp.where(prior.active, prior.vars, -jnp.inf)).astype(wd)
+    v = prior.vars.astype(wd)[None, :]
+    probs = prior.probs.astype(wd)[None, :]
     y2 = (y * y)[:, None]
     expo = -0.5 * y2 * (eta_max - v) / (v + sigma) / (eta_max + sigma)
-    z = prior.probs[None, :] / jnp.sqrt(v + sigma) * jnp.exp(expo)
-    return jnp.where(prior.active[None, :], z, 0.0)
+    z = probs / jnp.sqrt(v + sigma) * jnp.exp(expo)
+    z = jnp.where(prior.active[None, :], z, jnp.zeros((), wd))
+    return sigma, v, z
 
 
 def g1(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
     """MMSE posterior-mean denoiser (reference src/vamp.cpp:440-463),
-    vectorized over y (M,)."""
-    sigma = 1.0 / gam1
-    z = _component_terms(y, sigma, prior)
+    vectorized over y (M,), computed in y's dtype."""
+    sigma, v, z = _terms(y, gam1, prior)
     pk = jnp.sum(z, axis=1)
-    pkd = -jnp.sum(z / (prior.vars[None, :] + sigma), axis=1) * y
+    pkd = -jnp.sum(z / (v + sigma), axis=1) * y
     val = y + sigma * pkd / jnp.where(pk == 0.0, 1.0, pk)
     return jnp.where(jnp.abs(sigma) < _SIGMA_TINY, y, val)
 
 
 def g1d(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
     """Derivative of g1 (reference src/vamp.cpp:465-492)."""
-    sigma = 1.0 / gam1
-    v = prior.vars[None, :]
-    z = _component_terms(y, sigma, prior)
+    sigma, v, z = _terms(y, gam1, prior)
     zv = z / (v + sigma)
     pk = jnp.sum(z, axis=1)
     pkd = -jnp.sum(zv, axis=1) * y
@@ -100,65 +105,75 @@ def em_update(
     sums below contract the sharded dim, so XLA inserts the same scalar
     all-reduces the reference issues via MPI_Allreduce (src/vamp.cpp:578,
     596-597).  Padding markers are excluded via `mmask`.
+
+    The (M, L) responsibilities are computed in r1's dtype; the O(L)
+    hyperparameter arithmetic stays f64.
     """
-    noise_var = 1.0 / gam1
+    wd = r1.dtype
     gam1 = jnp.asarray(gam1, dtype=jnp.float64)
+    noise_var64 = 1.0 / gam1
+    noise_var = noise_var64.astype(wd)
+    gam1_c = gam1.astype(wd)
     slab = jnp.logical_and(prior.active, jnp.arange(prior.L) >= 1)
+    mmask_c = mmask.astype(wd)
+    r2_half = (r1 * r1) * 0.5  # (M,)
 
     class EMState(NamedTuple):
         it: jax.Array
-        probs: jax.Array
-        vars: jax.Array
+        probs: jax.Array  # f64
+        vars: jax.Array   # f64
         done: jax.Array
 
     def body(s: EMState) -> EMState:
-        probs, vars_ = s.probs, s.vars
-        lam = 1.0 - probs[0]
-        max_sigma = jnp.max(jnp.where(prior.active, vars_, -jnp.inf))
+        probs64, vars64 = s.probs, s.vars
+        lam64 = 1.0 - probs64[0]
+        max_sigma64 = jnp.max(jnp.where(prior.active, vars64, -jnp.inf))
+        max_sigma = max_sigma64.astype(wd)
 
-        v_col = vars_[None, :]
-        r2_half = (r1 * r1)[:, None] * 0.5
+        v_col = vars64.astype(wd)[None, :]
+        probs_c = probs64.astype(wd)[None, :]
         num = (
-            probs[None, :]
+            probs_c
             * jnp.exp(
-                -r2_half * (max_sigma - v_col) / (v_col + noise_var) / (max_sigma + noise_var)
+                -r2_half[:, None] * (max_sigma - v_col) / (v_col + noise_var) / (max_sigma + noise_var)
             )
             / jnp.sqrt(v_col + noise_var)
-            / jnp.sqrt(2.0 * jnp.pi)
+            / jnp.sqrt(jnp.asarray(2.0 * np.pi, wd))
         )
-        num = jnp.where(slab[None, :], num, 0.0)  # (M, L): slab responsibilities
+        num = jnp.where(slab[None, :], num, jnp.zeros((), wd))
         sum_num = jnp.sum(num, axis=1)
         sum_safe = jnp.where(sum_num == 0.0, 1.0, sum_num)
         beta = num / sum_safe[:, None]
 
         # pin_i: posterior inclusion probability of marker i
         spike_term = (
-            (1.0 - lam)
-            / jnp.sqrt(2.0 * jnp.pi * noise_var)
-            * jnp.exp(-r2_half[:, 0] * max_sigma / noise_var / (noise_var + max_sigma))
+            (1.0 - lam64).astype(wd)
+            / jnp.sqrt(jnp.asarray(2.0 * np.pi, wd) * noise_var)
+            * jnp.exp(-r2_half * max_sigma / noise_var / (noise_var + max_sigma))
         )
         pin = 1.0 / (1.0 + spike_term / sum_safe)
-        pin = pin * mmask  # exclude padding markers from all sufficient stats
+        pin = pin * mmask_c  # exclude padding markers from all stats
 
-        lam_total = jnp.sum(pin)  # psum over the marker axis under jit
+        lam_total = jnp.sum(pin).astype(jnp.float64)  # psum over marker axis
         lam_new = lam_total / mt
 
-        gmean = gam1 * r1[:, None] / (1.0 / jnp.where(v_col == 0.0, 1.0, v_col) + gam1)
-        v_post = 1.0 / (1.0 / jnp.where(vars_ == 0.0, 1.0, vars_) + gam1)
-        gammas = beta * (gmean * gmean + v_post[None, :])
+        v_safe = jnp.where(v_col == 0.0, 1.0, v_col)
+        gmean = gam1_c * r1[:, None] / (1.0 / v_safe + gam1_c)
+        v_post64 = 1.0 / (1.0 / jnp.where(vars64 == 0.0, 1.0, vars64) + gam1)
+        gammas = beta * (gmean * gmean + v_post64.astype(wd)[None, :])
 
-        res = jnp.sum(beta * pin[:, None], axis=0)          # (L,)
-        res_gammas = jnp.sum(gammas * pin[:, None], axis=0)  # (L,)
+        res = jnp.sum(beta * pin[:, None], axis=0).astype(jnp.float64)
+        res_gammas = jnp.sum(gammas * pin[:, None], axis=0).astype(jnp.float64)
 
         res_safe = jnp.where(res == 0.0, 1.0, res)
         new_vars = jnp.where(
-            jnp.logical_and(slab, res != 0.0), res_gammas / res_safe, vars_
+            jnp.logical_and(slab, res != 0.0), res_gammas / res_safe, vars64
         )
-        # learn_vars may be a traced bool; it gates the in-loop variance update
-        # (reference src/vamp.cpp:598-599)
-        vars_next = jnp.where(jnp.asarray(learn_vars), new_vars, vars_)
+        # learn_vars may be a traced bool; it gates the in-loop variance
+        # update (reference src/vamp.cpp:598-599)
+        vars_next = jnp.where(jnp.asarray(learn_vars), new_vars, vars64)
         omegas = jnp.where(slab, res / jnp.where(lam_total == 0.0, 1.0, lam_total), 0.0)
-        probs_next = jnp.where(slab, lam_new * omegas, probs)
+        probs_next = jnp.where(slab, lam_new * omegas, probs64)
         probs_next = probs_next.at[0].set(1.0 - lam_new)
         probs_next = jnp.where(prior.active, probs_next, 0.0)
 
@@ -167,8 +182,8 @@ def em_update(
             n = jnp.sum(jnp.where(prior.active, a * a, 0.0))
             return jnp.sqrt(d / jnp.where(n == 0.0, 1.0, n))
 
-        dist_probs = masked_rel_dist(probs_next, probs)
-        dist_vars = masked_rel_dist(vars_next, vars_)
+        dist_probs = masked_rel_dist(probs_next, probs64)
+        dist_vars = masked_rel_dist(vars_next, vars64)
         done = jnp.logical_and(dist_probs < em_err_thr, dist_vars < em_err_thr)
 
         return EMState(it=s.it + 1, probs=probs_next, vars=vars_next, done=done)
