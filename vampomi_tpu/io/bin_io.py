@@ -18,10 +18,19 @@ import os
 
 import numpy as np
 
+try:  # native IO runtime (threaded pread/pwrite, fused f64->f32 ingest)
+    from .. import _native
+except ImportError:  # pure-python fallback; build with `python setup.py build_ext --inplace`
+    _native = None
+
 
 def read_bin_slab(path: str, count: int, start: int = 0) -> np.ndarray:
     """Read `count` float64 values starting at element offset `start`.
     Mirrors `mpi_read_vec_from_file` (src/utilities.cpp:251-267)."""
+    if _native is not None:
+        out = np.empty(count, dtype="<f8")
+        _native.read_into(path, memoryview(out), start * 8)
+        return out
     return np.fromfile(path, dtype="<f8", count=count, offset=start * 8)
 
 
@@ -30,6 +39,9 @@ def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
     needed.  Mirrors `mpi_store_vec_to_file` (src/utilities.cpp:241-249):
     concurrent hosts each write disjoint slabs of one shared file."""
     vec = np.ascontiguousarray(vec, dtype="<f8")
+    if _native is not None:
+        _native.write_from(path, memoryview(vec).cast("B"), start * 8)
+        return
     mode = "r+b" if os.path.exists(path) else "w+b"
     with open(path, mode) as f:
         f.seek(start * 8)
@@ -39,14 +51,27 @@ def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
 def read_meth_bin(
     path: str, n: int, m: int, start_marker: int = 0, dtype=np.float64
 ) -> np.ndarray:
-    """Memory-map the marker-major meth matrix and materialize `m` markers
-    starting at `start_marker` as an (m, n) array.
+    """Load `m` markers starting at `start_marker` of the marker-major meth
+    matrix as an (m, n) array.
 
     Mirrors the reference's collective slab read at byte offset S·N·8
-    (src/data.cpp:116-153) without ever loading other hosts' slabs.
+    (src/data.cpp:116-153) without ever loading other hosts' slabs.  With the
+    native runtime and a float32 target, the f64 file data is narrowed
+    in-flight — no full-size f64 temporary.
     """
-    mm = np.memmap(path, dtype="<f8", mode="r", shape=(m, n), offset=start_marker * n * 8)
-    return np.asarray(mm, dtype=dtype)
+    dt = np.dtype(dtype)
+    offset = start_marker * n * 8
+    if _native is not None:
+        if dt == np.float32:
+            out = np.empty((m, n), dtype=np.float32)
+            _native.read_f64_as_f32(path, memoryview(out.reshape(-1)), offset)
+            return out
+        if dt == np.float64:
+            out = np.empty((m, n), dtype="<f8")
+            _native.read_into(path, memoryview(out.reshape(-1)), offset)
+            return out
+    mm = np.memmap(path, dtype="<f8", mode="r", shape=(m, n), offset=offset)
+    return np.asarray(mm, dtype=dt)
 
 
 def read_vec_from_text(path: str, count: int, start: int = 0) -> np.ndarray:

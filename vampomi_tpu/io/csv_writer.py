@@ -11,6 +11,11 @@ from __future__ import annotations
 
 import os
 
+try:  # native runtime: C snprintf("%5d"/"%20.15f") + positional pwrite
+    from .. import _native
+except ImportError:
+    _native = None
+
 
 class PositionalCSV:
     def __init__(self, path: str, header: list[str], create: bool = True):
@@ -22,6 +27,10 @@ class PositionalCSV:
                 f.write((", ".join(header) + "\n").encode())
 
     def write_row(self, iteration: int, values: list[float]) -> None:
+        values = [float(v) for v in values]
+        if _native is not None:
+            _native.write_csv_row(self.path, iteration, values)
+            return
         row = "%5d" % iteration
         for v in values:
             row += ", %20.15f" % v
