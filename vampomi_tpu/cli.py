@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--compute-dtype", default="auto",
                    choices=["auto", "float64", "float32", "bfloat16", "f64", "f32", "bf16"])
     x.add_argument("--seed", type=int, default=0)
+    x.add_argument("--checkpoint-file", default="",
+                   help="write an exact-state .npz after every iteration")
+    x.add_argument("--resume-file", default="",
+                   help="resume exactly from a checkpoint .npz")
+    x.add_argument("--trace", type=int, default=1,
+                   help="write <out>_trace.jsonl per-iteration telemetry")
     return p
 
 

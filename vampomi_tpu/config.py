@@ -69,6 +69,9 @@ class RunConfig:
     # TPU-native extensions (not present in the reference)
     compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
+    checkpoint_file: str = ""     # write exact-state .npz after each iteration
+    resume_file: str = ""         # resume exactly from a checkpoint .npz
+    trace: int = 1                # write <out>_trace.jsonl telemetry
 
     def resolved_compute_dtype(self):
         import jax

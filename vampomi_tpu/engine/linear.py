@@ -233,6 +233,7 @@ def infere_linear(
     rho = jnp.asarray(float(cfg.rho))
     mu_warm = jnp.zeros(M_pad)
     key = jax.random.PRNGKey(cfg.seed)
+    it_start = 1
 
     # covariate adjustment, once (src/vamp.cpp:153-169)
     cov_eff = None
@@ -244,6 +245,28 @@ def infere_linear(
             probit_var=cfg.probit_var, verbosity=cfg.verbosity,
         )
         y_adj = jnp.asarray(np.asarray(y) - covariates @ cov_eff, dtype=wd)
+
+    # exact-state resume (TPU-native extension, SURVEY §5.4)
+    if cfg.resume_file:
+        from .checkpoint import load_checkpoint, restore_key
+
+        ck = load_checkpoint(cfg.resume_file)
+        a = ck["arrays"]
+        x1_hat = jnp.asarray(a["x1_hat"], dtype=wd)
+        r1 = jnp.asarray(a["r1"], dtype=wd)
+        mu_warm = jnp.asarray(a["mu_warm"], dtype=wd)
+        if "y_adj" in a:
+            y_adj = jnp.asarray(a["y_adj"], dtype=wd)
+        gam1 = jnp.asarray(ck["scalars"]["gam1"])
+        gamw = jnp.asarray(ck["scalars"]["gamw"])
+        prior = MixturePrior(
+            probs=jnp.asarray(ck["prior"]["probs"]),
+            vars=jnp.asarray(ck["prior"]["vars"]),
+            active=jnp.asarray(ck["prior"]["active"]),
+        )
+        key = restore_key(ck["rng_key"])
+        it_start = ck["iteration"] + 1
+        _log(verbose, f"...resumed exact state from {cfg.resume_file} at iteration {it_start}")
 
     out_params = out_metrics = out_prior = None
     if write_outputs:
@@ -257,12 +280,22 @@ def infere_linear(
         out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
         out_prior = PositionalCSV(base + "_prior.csv", prior_header)
 
+    from ..utils.telemetry import Tracer
+
+    tracer = Tracer(
+        path=(f"{cfg.out_dir}/{cfg.out_name}_trace.jsonl"
+              if write_outputs and cfg.trace else None),
+        model="linear",
+    )
+    itemsize = jnp.dtype(dm.X.dtype).itemsize
+
     metrics_history = []
     x1_scaled = np.zeros(Mt)
     it_done = 0
 
-    for it in range(1, cfg.iterations + 1):
+    for it in range(it_start, cfg.iterations + 1):
         t0 = time.time()
+        tracer.start()
         _log(verbose, f"\n********************\niteration = {it}\n********************")
 
         # EM prior update + merge (src/vamp.cpp:186-187 -> updatePrior)
@@ -335,7 +368,31 @@ def infere_linear(
         _log(verbose, f"gamw = {float(gamw)}")
         _log(verbose, f"CG iters = {int(out['cg_iters'])}")
         _log(verbose, f"metrics [R2_den, x1corr, R2_lmmse, x2corr, zcorr2_den, zcorr2_lmmse] = {metrics}")
-        _log(verbose, f"iteration time = {time.time() - t0:.3f}s")
+
+        rec = tracer.stop(
+            it, int(out["cg_iters"]), M_pad, N, itemsize,
+            gam1=float(gam1), gamw=float(gamw),
+        )
+        _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
+                      f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
+                      f"total = {tracer.total_comp_time:.3f}s")
+
+        if cfg.checkpoint_file:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                cfg.checkpoint_file,
+                iteration=it,
+                arrays=dict(
+                    x1_hat=np.asarray(x1_hat, dtype=np.float64),
+                    r1=np.asarray(r1, dtype=np.float64),
+                    mu_warm=np.asarray(mu_warm, dtype=np.float64),
+                    y_adj=np.asarray(y_adj, dtype=np.float64),
+                ),
+                scalars=dict(gam1=float(gam1), gamw=float(gamw)),
+                prior=prior,
+                key=key,
+            )
 
         it_done = it
 

@@ -217,6 +217,33 @@ def infere_bin_class(
         )
         m_cov = jnp.asarray(covariates @ cov_eff, dtype=wd)
 
+    it_start = 1
+    if cfg.resume_file:
+        from .checkpoint import load_checkpoint, restore_key
+
+        ck = load_checkpoint(cfg.resume_file)
+        a = ck["arrays"]
+        x1_hat = jnp.asarray(a["x1_hat"], dtype=wd)
+        r1 = jnp.asarray(a["r1"], dtype=wd)
+        r2 = jnp.asarray(a["r2"], dtype=wd)
+        p1 = jnp.asarray(a["p1"], dtype=wd)
+        p2 = jnp.asarray(a["p2"], dtype=wd)
+        if "m_cov" in a:
+            m_cov = jnp.asarray(a["m_cov"], dtype=wd)
+        s = ck["scalars"]
+        gam1 = jnp.asarray(s["gam1"])
+        tau1 = jnp.asarray(s["tau1"])
+        gam2 = jnp.asarray(s["gam2"])
+        alpha1 = jnp.asarray(s["alpha1"])
+        prior = MixturePrior(
+            probs=jnp.asarray(ck["prior"]["probs"]),
+            vars=jnp.asarray(ck["prior"]["vars"]),
+            active=jnp.asarray(ck["prior"]["active"]),
+        )
+        key = restore_key(ck["rng_key"])
+        it_start = ck["iteration"] + 1
+        _log(True, f"...resumed exact state from {cfg.resume_file} at iteration {it_start}")
+
     out_params = out_metrics = out_prior = None
     if write_outputs:
         prior_header = (
@@ -229,12 +256,22 @@ def infere_bin_class(
         out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
         out_prior = PositionalCSV(base + "_prior.csv", prior_header)
 
+    from ..utils.telemetry import Tracer
+
+    tracer = Tracer(
+        path=(f"{cfg.out_dir}/{cfg.out_name}_trace.jsonl"
+              if write_outputs and cfg.trace else None),
+        model="bin_class",
+    )
+    itemsize = jnp.dtype(dm.X.dtype).itemsize
+
     metrics_history = []
     x1_scaled = np.zeros(Mt)
     it_done = 0
 
-    for it in range(1, cfg.iterations + 1):
+    for it in range(it_start, cfg.iterations + 1):
         t0 = time.time()
+        tracer.start()
         _log(verbose, f"\n********************\niteration = {it}\n********************")
 
         key, sub = jax.random.split(key)
@@ -298,7 +335,36 @@ def infere_bin_class(
         _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(out['params'])}")
         _log(verbose, f"acc1 = {metrics[4]:.4f}, acc2 = {metrics[10]:.4f}, "
                       f"x1_corr = {metrics[5]:.4f}, CG iters = {int(out['cg_iters'])}")
-        _log(verbose, f"iteration time = {time.time() - t0:.3f}s")
+
+        rec = tracer.stop(
+            it, int(out["cg_iters"]), M_pad, N, itemsize,
+            gam1=float(gam1), tau1=float(tau1),
+        )
+        _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
+                      f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
+                      f"total = {tracer.total_comp_time:.3f}s")
+
+        if cfg.checkpoint_file:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                cfg.checkpoint_file,
+                iteration=it,
+                arrays=dict(
+                    x1_hat=np.asarray(x1_hat, dtype=np.float64),
+                    r1=np.asarray(r1, dtype=np.float64),
+                    r2=np.asarray(r2, dtype=np.float64),
+                    p1=np.asarray(p1, dtype=np.float64),
+                    p2=np.asarray(p2, dtype=np.float64),
+                    m_cov=np.asarray(m_cov, dtype=np.float64),
+                ),
+                scalars=dict(
+                    gam1=float(gam1), tau1=float(tau1), gam2=float(gam2),
+                    alpha1=float(alpha1),
+                ),
+                prior=prior,
+                key=key,
+            )
 
         it_done = it
 
