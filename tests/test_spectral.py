@@ -1,0 +1,167 @@
+"""Spectral LMMSE solver tests: Gram exactness, Woodbury solve vs dense f64,
+closed-form traces vs dense, CG agreement, engine convergence parity, and
+shard-count invariance of the Gram build."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampomi_tpu.config import RunConfig
+from vampomi_tpu.engine.linear import choose_lmmse_solver, infere_linear
+from vampomi_tpu.ops.cg import cg_solve
+from vampomi_tpu.ops.operator import build_design
+from vampomi_tpu.ops.spectral import (
+    build_spectral, gram, spectral_solve, spectral_traces,
+)
+
+from tests.test_operator import explicit_A
+
+PROBS3 = [0.9, 0.07, 0.03]
+VARS3 = [0.0, 1e-3, 1e-2]
+
+
+@pytest.fixture(scope="module")
+def problem(small_fixture):
+    X = small_fixture.X  # (N, M) sample-major
+    dm = build_design(X.T, mesh=None, compute_dtype=jnp.float64)
+    A = explicit_A(X)    # (N, M) dense standardized operator
+    return A, dm
+
+
+@pytest.fixture(scope="module")
+def factor(problem):
+    _, dm = problem
+    return build_spectral(dm, block=128)  # small block to exercise the scan
+
+
+def test_gram_matches_dense(problem):
+    A, dm = problem
+    K = np.asarray(gram(dm, block=128))
+    np.testing.assert_allclose(K, A @ A.T, atol=1e-10)
+
+
+def test_eigh_reconstructs_gram(problem, factor):
+    A, _ = problem
+    U, lam = np.asarray(factor.U), np.asarray(factor.lam)
+    np.testing.assert_allclose((U * lam) @ U.T, A @ A.T, atol=1e-9)
+
+
+def test_spectral_solve_exact(problem, factor):
+    A, dm = problem
+    rng = np.random.default_rng(0)
+    m = A.shape[1]
+    v = rng.normal(size=dm.m_pad)
+    for tau, gam2 in [(2.0, 0.5), (17.3, 1e-3), (0.3, 40.0)]:
+        Q = tau * A.T @ A + gam2 * np.eye(m)
+        mu_dense = np.linalg.solve(Q, v[:m])
+        mu, z_mu = spectral_solve(dm, factor, jnp.asarray(v), tau, gam2)
+        np.testing.assert_allclose(np.asarray(mu)[:m], mu_dense, rtol=1e-8, atol=1e-10)
+        # padded coordinates see Q = gam2 I exactly
+        np.testing.assert_allclose(np.asarray(mu)[m:], v[m:] / gam2, rtol=1e-12)
+        # algebraic z_mu really is A mu
+        np.testing.assert_allclose(np.asarray(z_mu), A @ mu_dense, rtol=1e-7, atol=1e-9)
+
+
+def test_traces_exact(problem, factor):
+    A, dm = problem
+    m = A.shape[1]
+    AtA = A.T @ A
+    for tau, gam2 in [(2.0, 0.5), (17.3, 1e-3)]:
+        Qinv = np.linalg.inv(tau * AtA + gam2 * np.eye(m))
+        tr_q, tr_ata = spectral_traces(factor, float(m), tau, gam2)
+        np.testing.assert_allclose(float(tr_q), np.trace(Qinv), rtol=1e-8)
+        np.testing.assert_allclose(float(tr_ata), np.trace(AtA @ Qinv), rtol=1e-8)
+
+
+def test_matches_cg_solution(problem, factor):
+    """Spectral and CG solve the same system to their respective tolerances."""
+    _, dm = problem
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=dm.m_pad)
+    tau, gam2 = 3.1, 0.7
+    mu_s, _ = spectral_solve(dm, factor, jnp.asarray(v), tau, gam2)
+    res = cg_solve(dm, jnp.asarray(v), jnp.zeros(dm.m_pad), tau, gam2,
+                   max_iter=500, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(res.mu[:, 0]),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_wide_matrix_mt_less_than_n():
+    """Trace identities hold when Mt < N (rank-deficient Gram)."""
+    rng = np.random.default_rng(5)
+    n, m = 60, 25
+    X = rng.normal(size=(m, n))
+    dm = build_design(X, mesh=None, compute_dtype=jnp.float64)
+    fac = build_spectral(dm)
+    A = explicit_A(X.T)
+    AtA = A.T @ A
+    tau, gam2 = 1.7, 0.9
+    Qinv = np.linalg.inv(tau * AtA + gam2 * np.eye(m))
+    tr_q, tr_ata = spectral_traces(fac, float(m), tau, gam2)
+    np.testing.assert_allclose(float(tr_q), np.trace(Qinv), rtol=1e-8)
+    np.testing.assert_allclose(float(tr_ata), np.trace(AtA @ Qinv), rtol=1e-8)
+
+
+def test_gram_shard_invariance(small_fixture, mesh8):
+    X = small_fixture.X
+    dm1 = build_design(X.T, mesh=None, compute_dtype=jnp.float64)
+    dm8 = build_design(X.T, mesh=mesh8, compute_dtype=jnp.float64)
+    K1 = np.asarray(gram(dm1, block=64))
+    K8 = np.asarray(gram(dm8, block=64))
+    np.testing.assert_allclose(K8, K1, atol=1e-11)
+
+
+def test_engine_spectral_converges(small_fixture, tmp_path):
+    """The spectral engine recovers the signal like the CG engine does, and
+    its exact alpha2 stays within Monte-Carlo range of the probe estimate."""
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    common = dict(
+        out_dir=str(tmp_path), out_name="s", iterations=8, rho=0.5, h2=0.8,
+        gam1=1e-6, probs=list(PROBS3), vars=list(VARS3),
+        stop_criteria_thr=1e-8, seed=7, trace=0,
+    )
+    res_s = infere_linear(dm, fx.y, RunConfig(lmmse_solver="spectral", **common),
+                          true_signal=fx.beta, write_outputs=False)
+    res_c = infere_linear(dm, fx.y, RunConfig(lmmse_solver="cg", **common),
+                          true_signal=fx.beta, write_outputs=False)
+
+    corr_s = np.corrcoef(res_s.x1_hat_scaled, fx.beta)[0, 1]
+    corr_c = np.corrcoef(res_c.x1_hat_scaled, fx.beta)[0, 1]
+    assert corr_s > 0.75
+    assert abs(corr_s - corr_c) < 0.05
+    # gamw estimates the same noise precision (1/(1-h2) scale)
+    assert abs(res_s.gamw - res_c.gamw) / res_c.gamw < 0.2
+
+
+def test_probit_spectral_converges(tmp_path):
+    """Probit engine with the spectral solver matches the CG engine's
+    classification quality (tau2 varies per iteration; factor is reused)."""
+    from vampomi_tpu.engine.probit import infere_bin_class
+    from vampomi_tpu.sim.data_sim import simulate_iid
+
+    fx = simulate_iid(n=400, m=300, lam=0.15, h2=0.9, seed=9)
+    rng = np.random.default_rng(10)
+    ybin = (fx.X @ fx.beta + rng.normal(0, np.sqrt(0.1), fx.X.shape[0]) > 0).astype(float)
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    common = dict(
+        out_dir=str(tmp_path), out_name="pb", model="bin_class", iterations=6,
+        rho=0.3, gam1=1e-2, probs=[0.85, 0.1, 0.05], vars=[0.0, 1e-3, 1e-2],
+        stop_criteria_thr=1e-8, seed=3, trace=0,
+    )
+    res_s = infere_bin_class(dm, ybin, RunConfig(lmmse_solver="spectral", **common),
+                             true_signal=fx.beta, write_outputs=False)
+    res_c = infere_bin_class(dm, ybin, RunConfig(lmmse_solver="cg", **common),
+                             true_signal=fx.beta, write_outputs=False)
+    acc_s, acc_c = res_s.metrics_history[-1][4], res_c.metrics_history[-1][4]
+    assert acc_s > 0.75
+    assert abs(acc_s - acc_c) < 0.05
+
+
+def test_auto_solver_choice():
+    cfg = RunConfig()
+    assert choose_lmmse_solver(cfg, mt=2000, n=300) == "cg"          # tiny N
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000) == "spectral"
+    assert choose_lmmse_solver(cfg, mt=20_000, n=10_000) == "cg"     # Mt < 4N
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=32_768) == "cg"  # N too big
+    assert choose_lmmse_solver(cfg.replace(lmmse_solver="spectral"), 10, 10) == "spectral"

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--compute-dtype", default="auto",
                    choices=["auto", "float64", "float32", "bfloat16", "f64", "f32", "bf16"])
     x.add_argument("--seed", type=int, default=0)
+    x.add_argument("--lmmse-solver", default="auto",
+                   choices=["auto", "cg", "spectral"],
+                   help="LMMSE solve: CG (reference-parity) or the exact "
+                        "spectral/Woodbury path (ops/spectral.py)")
+    x.add_argument("--spectral-max-n", type=int, default=16384,
+                   help="auto solver picks spectral only when N <= this")
     x.add_argument("--checkpoint-file", default="",
                    help="write an exact-state .npz after every iteration")
     x.add_argument("--resume-file", default="",

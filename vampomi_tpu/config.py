@@ -67,6 +67,8 @@ class RunConfig:
     test_iter_range: list[int] = field(default_factory=lambda: [1, 50])
 
     # TPU-native extensions (not present in the reference)
+    lmmse_solver: str = "auto"    # auto | cg | spectral (ops/spectral.py)
+    spectral_max_n: int = 16384   # auto picks spectral only when N <= this
     compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
     checkpoint_file: str = ""     # write exact-state .npz after each iteration

@@ -24,6 +24,7 @@ linear header (src/vamp.cpp:72-77 + vamp_probit.cpp:22).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import NamedTuple
 
@@ -37,8 +38,12 @@ from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
+from ..ops.spectral import build_spectral, spectral_solve, spectral_traces
 from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
-from .linear import GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log
+from .linear import (
+    GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
+    choose_lmmse_solver,
+)
 from .metrics import confusion_counts
 
 
@@ -57,7 +62,7 @@ class ProbitResult(NamedTuple):
     metrics_history: list
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("solver",))
 def _probit_phase(
     dm: DesignMatrix,
     y,                # 0/1 labels (N,)
@@ -70,6 +75,8 @@ def _probit_phase(
     bern,
     true_signal_scaled,   # sqrt(N) * beta, padded
     cg_max_iter, cg_err_tol,
+    fac=None,             # SpectralFactor when solver == "spectral"
+    solver: str = "cg",
 ):
     # Dtype policy: M/N vectors in the work dtype; scalars f64 (see
     # engine/linear.py).
@@ -118,16 +125,26 @@ def _probit_phase(
 
     # ---------- LMMSE x (src/vamp_probit.cpp:291-346) ----------
     v = c(tau2) * atx(dm, p2_new) + c(gam2) * r2_new
-    V = jnp.stack([v, bern], axis=1)
-    MU0 = jnp.zeros_like(V)  # probit CG starts from zero every iteration
-    res = cg_solve(
-        dm, V, MU0, tau2, gam2,
-        max_iter=cg_max_iter, tol=cg_err_tol,
-        onsager_cols=jnp.asarray([False, True]),
-    )
-    x2_hat = res.mu[:, 0]
-    invq_bern = res.mu[:, 1]
-    alpha2 = gam2 * jnp.dot(bern, invq_bern).astype(jnp.float64)
+    if solver == "spectral":
+        # exact Woodbury solve + closed-form Onsager (ops/spectral.py); tau2
+        # varies per iteration but the Gram factor is shift-invariant
+        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2)
+        tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2)
+        alpha2 = gam2 * tr_qinv / dm.mt
+        cg_iters = jnp.asarray(0)
+    else:
+        V = jnp.stack([v, bern], axis=1)
+        MU0 = jnp.zeros_like(V)  # probit CG starts from zero every iteration
+        res = cg_solve(
+            dm, V, MU0, tau2, gam2,
+            max_iter=cg_max_iter, tol=cg_err_tol,
+            onsager_cols=jnp.asarray([False, True]),
+        )
+        x2_hat = res.mu[:, 0]
+        invq_bern = res.mu[:, 1]
+        alpha2 = gam2 * jnp.dot(bern, invq_bern).astype(jnp.float64)
+        z2_hat = ax(dm, x2_hat)
+        cg_iters = res.iters
 
     x2_corr = corr(x2_hat, ts)
 
@@ -135,13 +152,13 @@ def _probit_phase(
     gam1_new = _clamp(gam2 * (1.0 - alpha2) / alpha2)
 
     # ---------- LMMSE z (src/vamp_probit.cpp:351-376) ----------
-    z2_hat = ax(dm, x2_hat)
     beta2 = dm.mt / dm.n * (1.0 - alpha2)
     p1_new = (z2_hat - c(beta2) * p2_new) / c(1.0 - beta2)
     tau1_new = _clamp(tau2 * (1.0 - beta2) / beta2)
 
-    # metrics, LMMSE half (src/vamp_probit.cpp:402-420)
-    z2_pred = ax(dm, x2_hat * inv_sqrt_n)
+    # metrics, LMMSE half (src/vamp_probit.cpp:402-420); the reference
+    # recomputes Ax at x2/sqrt(N) — algebraically z2_hat * inv_sqrt_n
+    z2_pred = z2_hat * inv_sqrt_n
     y2_hat = (jax.scipy.stats.norm.cdf(z2_pred) >= 0.5).astype(wd)
     tp2, tn2, fp2, fn2 = confusion_counts(y, y2_hat)
     acc2 = ((tp2 + tn2) / dm.n).astype(jnp.float64)
@@ -160,7 +177,7 @@ def _probit_phase(
         x1_hat=x1_hat, alpha1=alpha1, gam2=gam2, r2=r2_new,
         x2_hat=x2_hat, alpha2=alpha2, r1=r1_new, gam1=gam1_new,
         p1=p1_new, p2=p2_new, tau1=tau1_new, tau2=tau2,
-        z1_hat=z1_hat, metrics=metrics, params=params, cg_iters=res.iters,
+        z1_hat=z1_hat, metrics=metrics, params=params, cg_iters=cg_iters,
     )
 
 
@@ -256,12 +273,22 @@ def infere_bin_class(
         out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
         out_prior = PositionalCSV(base + "_prior.csv", prior_header)
 
+    solver = choose_lmmse_solver(cfg, Mt, N)
+    fac = None
+    if solver == "spectral":
+        t_fac = time.time()
+        fac = build_spectral(dm)
+        jax.block_until_ready(fac.U)
+        _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
+                      f"(N={N}; exact solves + exact Onsager from here on)")
+
     from ..utils.telemetry import Tracer
 
     tracer = Tracer(
         path=(f"{cfg.out_dir}/{cfg.out_name}_trace.jsonl"
               if write_outputs and cfg.trace else None),
         model="bin_class",
+        solver=solver,
     )
     itemsize = jnp.dtype(dm.X.dtype).itemsize
 
@@ -275,10 +302,13 @@ def infere_bin_class(
         _log(verbose, f"\n********************\niteration = {it}\n********************")
 
         key, sub = jax.random.split(key)
-        bern = (
-            jax.random.rademacher(sub, (M_pad,), dtype=wd)
-            * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
-        ) * dm.mmask
+        if solver == "spectral":
+            bern = jnp.zeros(M_pad, dtype=wd)  # probe unused: traces are exact
+        else:
+            bern = (
+                jax.random.rademacher(sub, (M_pad,), dtype=wd)
+                * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
+            ) * dm.mmask
 
         x1_prev = x1_hat
         r1_in = r1
@@ -287,6 +317,7 @@ def infere_bin_class(
             gam1, tau1, gam2, alpha1, prior, x1_prev,
             jnp.asarray(it > 1), rho, probit_var, bern, ts_scaled,
             jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+            fac=fac, solver=solver,
         )
 
         # EM prior update for the NEXT iteration (g1 above used the old prior;

@@ -28,22 +28,29 @@ class IterationTelemetry:
     extra: dict = field(default_factory=dict)
 
 
-def estimate_passes(cg_iters: int, model: str = "linear") -> int:
+def estimate_passes(cg_iters: int, model: str = "linear", solver: str = "cg") -> int:
     """Full passes over the M×N matrix per engine iteration.
 
     Multi-RHS CG: each body step is one ax_batch + one atx_batch = 2 passes
     (shared by both RHS columns), plus 2 for the initial residual.  Around
     the solve: atx(y) [1], ax(x1) [1], ax(x2) + atx(ax(invq)) [3], metrics
     ax [1] (linear) or the probit driver's extra Ax calls [4].
+
+    Spectral solver: ax(x1) [1], ax(v) [1], atx(q) [1] — constant per
+    iteration (ops/spectral.py); z2 comes from the factor algebraically.
     """
+    if solver == "spectral":
+        return 3 if model == "linear" else 5
     around = 6 if model == "linear" else 8
     return 2 * (cg_iters + 1) + around
 
 
 class Tracer:
-    def __init__(self, path: str | None = None, model: str = "linear"):
+    def __init__(self, path: str | None = None, model: str = "linear",
+                 solver: str = "cg"):
         self.path = path
         self.model = model
+        self.solver = solver
         self.records: list[IterationTelemetry] = []
         self.total_comp_time = 0.0
         self._t0 = None
@@ -57,7 +64,7 @@ class Tracer:
              **extra) -> IterationTelemetry:
         dt = time.time() - self._t0
         self.total_comp_time += dt
-        passes = estimate_passes(cg_iters, self.model)
+        passes = estimate_passes(cg_iters, self.model, self.solver)
         bytes_moved = passes * m * n * itemsize
         rec = IterationTelemetry(
             iteration=iteration,
