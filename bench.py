@@ -1,14 +1,20 @@
-"""Benchmark: LMMSE normal-equation matvec throughput on the local chip.
+"""Benchmark: full VAMP iteration rate on the local chip.
 
-The reference's per-CG-step cost is two full passes over the M×N design
-matrix (data::Ax + data::ATx, ~16·M·N bytes at fp64 on CPU; SURVEY §3.2).
-This measures our fused (tau·AᵀA + gam2·I)·v at the same algorithmic step,
-in the TPU compute dtype, and reports achieved HBM GB/s.
+Measures the framework's production path — one complete linear-gVAMP
+iteration (mixture denoiser + EM-ready reductions + exact Gram/Woodbury
+LMMSE solve + exact Onsager/noise traces + metrics; engine/linear.py
+`_iteration_phase_spectral`) — at the largest marker count that fits the
+chip's HBM with N = 8192 samples, i.e. the BASELINE.json north-star
+workload shape ("VAMP iterations/s at N~1e4, M~1e6") scaled to one chip.
 
-vs_baseline = achieved GB/s / the chip's speed-of-light HBM bandwidth
-(nominal per device kind, falling back to a measured copy probe).  The
-reference publishes no numbers (BASELINE.md), so speed-of-light fraction is
-the honest denominator.
+vs_baseline = (time of the reference-structured algorithm on the SAME
+chip) / (our time).  The reference algorithm is Jacobi-preconditioned CG
+at the reference's own defaults (CG_max_iter=500, tol=1e-5,
+src/options.hpp:83-84) with warm start plus the Hutchinson Onsager/trace
+probe — implemented as our `_iteration_phase`, whose matvec kernel already
+runs at ~84% of HBM speed-of-light (see ops/operator.py).  So vs_baseline
+is the honest per-iteration algorithmic speedup over the reference on
+identical silicon; the reference itself publishes no numbers (BASELINE.md).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,6 +22,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -23,30 +30,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pick_shape(dtype) -> tuple[int, int]:
-    """Target the large-scale workload shape (N~1e4, M~1e6) scaled to fit
-    comfortably in one chip's HBM."""
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pick_shape(dtype, n=8192):
+    """Largest M (multiple of 1024) such that X fits a conservative HBM
+    budget next to the N^2 Gram factor and working vectors."""
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit", 16 * 2**30)
     except Exception:
         limit = 16 * 2**30
-    budget = int(limit * 0.35)
     itemsize = jnp.dtype(dtype).itemsize
-    n = 8192
-    m = budget // (n * itemsize)
-    m = int(min(m, 1_048_576)) // 1024 * 1024
-    return max(m, 8192), n
+    budget = int(limit * 0.35) - 3 * n * n * itemsize
+    m = max(budget // (n * itemsize), 8192) // 1024 * 1024
+    return int(min(m, 1_048_576)), n
 
 
-def run(m: int, n: int, dtype):
-
-    from vampomi_tpu.ops.operator import DesignMatrix, normal_eq_mult
+def make_problem(m, n, dtype):
+    from vampomi_tpu.ops.operator import DesignMatrix
+    from vampomi_tpu.prior.mixture import init_prior
 
     wd = jnp.float32 if dtype == jnp.bfloat16 else dtype
     key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    X = jax.random.normal(k1, (m, n), dtype=dtype)
+    kx, ky, kr = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (m, n), dtype=dtype)
     dm = DesignMatrix(
         X=X,
         mave=jnp.zeros(m, dtype=wd),
@@ -56,68 +65,87 @@ def run(m: int, n: int, dtype):
         n=jnp.asarray(float(n), dtype=jnp.float64),
         mt=jnp.asarray(float(m), dtype=jnp.float64),
     )
-    v = jax.random.normal(k2, (m,), dtype=wd)
+    y = jax.random.normal(ky, (n,), dtype=wd)
+    # mid-trajectory-like state: r1 = sparse-ish signal + noise, moderate gammas
+    r1 = 0.3 * jax.random.normal(kr, (m,), dtype=wd)
+    prior = init_prior([0.9, 0.07, 0.03], [0.0, 1e-3, 1e-2], n)
+    return dm, y, r1, prior
 
-    def sync(x):
-        # block_until_ready is a no-op on the axon relay platform; a host
-        # fetch of one element is the reliable fence.  (Single-element index,
-        # NOT ravel — ravel materializes a full copy.)
-        return float(jax.device_get(x[(0,) * x.ndim]))
 
-    # Per-dispatch latency on this platform is ~5 ms, so the timed chain runs
-    # INSIDE one jit via fori_loop — like a real CG solve does.
-    iters = 20
+def sync(x):
+    # a host fetch of one element is the reliable fence on the relay platform
+    return float(jax.device_get(jnp.ravel(x)[0]))
 
-    @jax.jit
-    def chain(dm, v):
-        def body(_, u):
-            w = normal_eq_mult(dm, u, 1.7, 0.3)
-            return w * jax.lax.rsqrt(jnp.sum(w * w))
-        return jax.lax.fori_loop(0, iters, body, v)
 
-    sync(chain(dm, v))  # compile + warm
+def time_calls(fn, k=5):
+    sync(fn())  # warm/compile
     t0 = time.perf_counter()
-    out = chain(dm, v)
+    for _ in range(k):
+        out = fn()
     sync(out)
-    dt = (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / k
 
-    bytes_per_call = 2 * m * n * jnp.dtype(dtype).itemsize  # Ax + ATx passes
-    gbps = bytes_per_call / dt / 1e9
 
-    # speed-of-light proxy: elementwise scale of X (1 read + 1 write)
-    @jax.jit
-    def copy_chain(x):
-        def body(_, u):
-            return u * jnp.asarray(1.0000001, dtype=u.dtype)
-        return jax.lax.fori_loop(0, 8, body, x)
+def run(m, n, dtype):
+    from vampomi_tpu.engine.linear import (
+        _iteration_phase, _iteration_phase_spectral,
+    )
+    from vampomi_tpu.ops.operator import atx
+    from vampomi_tpu.ops.spectral import build_spectral
 
-    sync(copy_chain(X))
+    dm, y, r1, prior = make_problem(m, n, dtype)
+    wd = dm.wd
+    gam1 = jnp.asarray(1.0)
+    gamw = jnp.asarray(10.0)
+    rho = jnp.asarray(0.5)
+    damp = jnp.asarray(False)
+    ts = jnp.zeros(m, dtype=wd)
+    x1_prev = jnp.zeros(m, dtype=wd)
+
+    # ---- our path: exact Gram/Woodbury LMMSE ----
     t0 = time.perf_counter()
-    c = copy_chain(X)
-    sync(c)
-    copy_dt = (time.perf_counter() - t0) / 8
-    copy_gbps = (2 * m * n * jnp.dtype(dtype).itemsize) / copy_dt / 1e9
+    fac = build_spectral(dm)
+    jax.block_until_ready(fac.K)
+    t_build = time.perf_counter() - t0
+    aty = jax.jit(atx)(dm, y)
 
-    return gbps, copy_gbps
+    def ours():
+        return _iteration_phase_spectral(
+            dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
+        )["x1_hat"]
 
+    t_ours = time_calls(ours)
+    log(f"spectral: gram build {t_build:.2f}s (once per dataset), "
+        f"iteration {t_ours*1e3:.1f} ms")
 
-_NOMINAL_HBM_GBPS = {
-    # speed-of-light HBM bandwidth per chip generation (public specs)
-    "v4": 1228.0,
-    "v5 lite": 819.0,
-    "v5e": 819.0,
-    "v5p": 2765.0,
-    "v6 lite": 1640.0,
-    "v6e": 1640.0,
-}
+    # ---- reference-structured path: warm-started CG + Hutchinson probe ----
+    key = jax.random.PRNGKey(1)
+    bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
+    cg_max = jnp.asarray(500)   # reference defaults, src/options.hpp:83-84
+    cg_tol = jnp.asarray(1e-5)
 
+    def ref_once(g1v, gwv, mu_warm):
+        return _iteration_phase(
+            dm, y, y, r1, g1v, prior, x1_prev, damp, rho, gwv,
+            mu_warm, bern, ts, cg_max, cg_tol,
+        )
 
-def nominal_hbm_gbps(copy_gbps: float) -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    for key, bw in _NOMINAL_HBM_GBPS.items():
-        if key in kind:
-            return bw
-    return copy_gbps  # unknown chip: fall back to the measured copy probe
+    # Warm start like a real run: the previous iteration solved the system at
+    # slightly different gammas (src/vamp.cpp:308-311 reuses mu_CG_last across
+    # iterations whose gam2/gamw have moved).  Warm-starting with the exact
+    # solution of the SAME system would be unfairly fast for the baseline.
+    prev = ref_once(gam1 * 1.15, gamw * 1.15, jnp.zeros(m, dtype=wd))
+    mu_warm = prev["x2_hat"]
+
+    def ref():
+        return ref_once(gam1, gamw, mu_warm)["x1_hat"]
+
+    t_ref = time_calls(ref, k=3)
+    cg_iters = int(ref_once(gam1, gamw, mu_warm)["cg_iters"])
+    log(f"cg (reference structure): iteration {t_ref*1e3:.1f} ms "
+        f"({cg_iters} warm-started CG iters at tol 1e-5)")
+
+    return t_ours, t_ref, t_build
 
 
 def main() -> None:
@@ -125,20 +153,23 @@ def main() -> None:
     m, n = pick_shape(dtype)
     while True:
         try:
-            gbps, copy_gbps = run(m, n, dtype)
+            t_ours, t_ref, t_build = run(m, n, dtype)
             break
-        except Exception as e:  # RESOURCE_EXHAUSTED → halve and retry
+        except Exception as e:  # RESOURCE_EXHAUSTED -> halve and retry
             if "RESOURCE_EXHAUSTED" not in str(e) or m <= 16384:
                 raise
             m //= 2
+            log(f"OOM; retrying with M={m}")
 
+    log(f"shape: M={m}, N={n}, dtype={jnp.dtype(dtype).name}; "
+        f"X = {m*n*jnp.dtype(dtype).itemsize/2**30:.2f} GiB")
     print(
         json.dumps(
             {
-                "metric": "lmmse_matvec_gbps",
-                "value": round(gbps, 2),
-                "unit": "GB/s/chip",
-                "vs_baseline": round(gbps / nominal_hbm_gbps(copy_gbps), 4),
+                "metric": "vamp_iter_per_s",
+                "value": round(1.0 / t_ours, 3),
+                "unit": f"full VAMP iterations/s at M={m}, N={n}",
+                "vs_baseline": round(t_ref / t_ours, 3),
             }
         )
     )

@@ -1,6 +1,6 @@
-"""Spectral LMMSE solver tests: Gram exactness, Woodbury solve vs dense f64,
-closed-form traces vs dense, CG agreement, engine convergence parity, and
-shard-count invariance of the Gram build."""
+"""Gram-space LMMSE solver tests: Gram exactness, Woodbury/Cholesky solve vs
+dense f64, closed-form traces vs dense, CG agreement, engine convergence
+parity, and shard-count invariance of the Gram build."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,10 +40,14 @@ def test_gram_matches_dense(problem):
     np.testing.assert_allclose(K, A @ A.T, atol=1e-10)
 
 
-def test_eigh_reconstructs_gram(problem, factor):
+def test_shift_cholesky_reconstructs(problem, factor):
+    from vampomi_tpu.ops.spectral import shift_cholesky
+
     A, _ = problem
-    U, lam = np.asarray(factor.U), np.asarray(factor.lam)
-    np.testing.assert_allclose((U * lam) @ U.T, A @ A.T, atol=1e-9)
+    tau, gam2 = 2.5, 0.7
+    L = np.asarray(shift_cholesky(factor, tau, gam2))
+    S = tau * (A @ A.T) + gam2 * np.eye(A.shape[0])
+    np.testing.assert_allclose(L @ L.T, S, atol=1e-9)
 
 
 def test_spectral_solve_exact(problem, factor):

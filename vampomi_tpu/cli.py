@@ -112,6 +112,17 @@ def parse_config(argv: list[str]) -> RunConfig:
 def main(argv: list[str] | None = None) -> int:
     cfg = parse_config(sys.argv[1:] if argv is None else argv)
 
+    import os
+
+    import jax
+
+    # Multi-host (pod-slice / multi-process) execution: the TPU-native analog
+    # of the reference's `mpirun -np R` (src/main_meth.cpp:12-18).  Launch one
+    # process per host with VAMPOMI_DISTRIBUTED=1 (coordinator/rank discovery
+    # comes from the TPU runtime or JAX_COORDINATOR_ADDRESS/PROCESS_ID).
+    if os.environ.get("VAMPOMI_DISTRIBUTED") == "1" and jax.process_count() == 1:
+        jax.distributed.initialize()
+
     from .dataset import load_dataset
     from .io.bin_io import read_bin_slab
     from .sharding import make_mesh

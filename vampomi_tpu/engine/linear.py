@@ -36,7 +36,9 @@ from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
-from ..ops.spectral import SpectralFactor, build_spectral, spectral_solve, spectral_traces
+from ..ops.spectral import (
+    GramFactor, build_spectral, shift_cholesky, spectral_solve, spectral_traces,
+)
 from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
 from .metrics import prediction_metrics, signal_metrics
 
@@ -190,7 +192,7 @@ def _iteration_phase(
 @jax.jit
 def _iteration_phase_spectral(
     dm: DesignMatrix,
-    fac: SpectralFactor,
+    fac: GramFactor,
     aty_adj,          # A^T y_adj, cached across iterations (y_adj is constant)
     y_raw,
     r1,
@@ -238,9 +240,10 @@ def _iteration_phase_spectral(
 
     # ---------------- LMMSE, exact (src/vamp.cpp:287-362) ----------------
     v = c(gamw) * aty_adj + c(gam2) * r2
-    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2)
+    L = shift_cholesky(fac, gamw, gam2)
+    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2, L=L)
 
-    tr_qinv, tr_ata_qinv = spectral_traces(fac, dm.mt, gamw, gam2)
+    tr_qinv, tr_ata_qinv = spectral_traces(fac, dm.mt, gamw, gam2, L=L)
     alpha2 = gam2 * tr_qinv / dm.mt          # exact E[u^T Q^{-1} u], u ~ ±1/sqrt(Mt)
     eta2 = gam2 / alpha2
     gam1_new = _clamp(eta2 - gam2)
@@ -396,7 +399,7 @@ def infere_linear(
         t_fac = time.time()
         fac = build_spectral(dm)
         aty_adj = jax.jit(atx)(dm, y_adj)
-        jax.block_until_ready(fac.U)
+        jax.block_until_ready(fac.K)
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
 

@@ -38,7 +38,7 @@ from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
-from ..ops.spectral import build_spectral, spectral_solve, spectral_traces
+from ..ops.spectral import build_spectral, shift_cholesky, spectral_solve, spectral_traces
 from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
 from .linear import (
     GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
@@ -128,8 +128,9 @@ def _probit_phase(
     if solver == "spectral":
         # exact Woodbury solve + closed-form Onsager (ops/spectral.py); tau2
         # varies per iteration but the Gram factor is shift-invariant
-        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2)
-        tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2)
+        L = shift_cholesky(fac, tau2, gam2)
+        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2, L=L)
+        tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2, L=L)
         alpha2 = gam2 * tr_qinv / dm.mt
         cg_iters = jnp.asarray(0)
     else:
@@ -278,7 +279,7 @@ def infere_bin_class(
     if solver == "spectral":
         t_fac = time.time()
         fac = build_spectral(dm)
-        jax.block_until_ready(fac.U)
+        jax.block_until_ready(fac.K)
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
 

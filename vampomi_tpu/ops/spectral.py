@@ -1,37 +1,50 @@
-"""Spectral (Gram/Woodbury) LMMSE solver — the TPU-first fast path.
+"""Gram-space (Woodbury) LMMSE solver — the TPU-first fast path.
 
 The reference solves the LMMSE system  Q mu = v,  Q = tau A^T A + gam2 I_M
 with preconditioned CG, paying **two full HBM passes over the M×N design
-matrix per CG step** (reference: src/vamp.cpp:645-662, 697) — hundreds of
-passes per VAMP iteration — and estimates the Onsager term and the noise-EM
-trace correction with a single Hutchinson probe (src/vamp.cpp:494-501,
-504-529), which both costs a second CG solve and injects Monte-Carlo noise
-into the trajectory.
+matrix per CG step** (reference: src/vamp.cpp:645-662, 697) — dozens to
+hundreds of passes per VAMP iteration — and estimates the Onsager term and
+the noise-EM trace correction with a single Hutchinson probe
+(src/vamp.cpp:494-501, 504-529), which both costs a second CG solve and
+injects Monte-Carlo noise into the trajectory.
 
 On TPU the better algorithm exploits N << M: precompute the N×N Gram matrix
 
     K = A A^T            (one MXU-saturating pass over X, done once)
 
-and its eigendecomposition K = U diag(lam) U^T.  Then every LMMSE solve is
-EXACT via the Woodbury identity
+and per iteration Cholesky-factor the *shifted dual* matrix
 
-    Q^{-1} v = ( v - tau A^T U diag(1/(gam2 + tau lam)) U^T A v ) / gam2
+    S = gam2 I_N + tau K = L L^T      (N^3/3 MXU FLOPs — milliseconds)
 
-at a cost of one Ax pass + one A^T x pass + two N×N matvecs — independent of
-the CG iteration count — and both traces are exact in closed form:
+Then every LMMSE quantity is EXACT:
 
-    tr(Q^{-1})        = sum_i 1/(tau lam_i + gam2) + (Mt - N)/gam2
-    tr(A^T A Q^{-1})  = sum_i lam_i/(tau lam_i + gam2)
+  solve     Q^{-1} v = ( v - tau A^T S^{-1} A v ) / gam2     [Woodbury]
+  z = A mu           = S^{-1} A v                            [push-through]
+  tr(Q^{-1})         = T + (Mt - N)/gam2,  T := tr(S^{-1}) = ||L^{-1}||_F^2
+  tr(A^T A Q^{-1})   = (N - gam2 T) / tau
 
-(The identities hold for any Mt vs N: A^T A and K = A A^T share nonzero
-eigenvalues; zero modes of Q^{-1} contribute 1/gam2 each and the counting
-term absorbs them exactly.)  This removes the Hutchinson probe entirely —
-alpha2 and the gamma_w trace correction become deterministic and unbiased,
-strictly more accurate than the reference's single-probe estimator.
+at a cost of one Ax pass + one A^T x pass over X plus O(N^3) MXU work —
+independent of the CG iteration count.  (The trace identities hold for any
+Mt vs N: A^T A and K share nonzero eigenvalues {lam_i}; T sums 1/(tau lam_i
++ gam2) over all N of K's eigenvalues, zero modes of Q contribute 1/gam2
+each, and the (Mt - N)/gam2 counting term absorbs them exactly.  The
+push-through identity is A (gam2 I + tau A^T A)^{-1} = S^{-1} A.)
+
+This removes the Hutchinson probe entirely — alpha2 and the gamma_w trace
+correction become deterministic and unbiased, strictly more accurate than
+the reference's single-probe estimator — and removes CG tolerance error
+from x2_hat.
 
 Sharding: X is marker-sharded over mesh axis "m"; the Gram build runs as a
 `shard_map` of block-local (w^2-weighted) X^T X contractions followed by one
 psum of an N×N array — the only O(N^2) communication, paid once per dataset.
+All per-iteration dense work (Cholesky, triangular solves) is N×N and runs
+replicated.
+
+Precision: on TPU the work dtype is f32; cholesky(S) at the condition
+numbers VAMP produces (gam2 and tau*lam within a few decades) carries
+~1e-5 relative error — the same order as the reference's CG_err_tol.  The
+CPU oracle path runs the identical code in f64.
 """
 
 from __future__ import annotations
@@ -42,25 +55,24 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..sharding import MARKER_AXIS
 from .operator import DesignMatrix, atx, ax
 
 
-class SpectralFactor(NamedTuple):
-    """Eigendecomposition of the Gram matrix K = A A^T.
+class GramFactor(NamedTuple):
+    """The reusable LMMSE state: the Gram matrix K = A A^T.
 
-    U   : (N, N) orthonormal eigenvectors, work dtype, replicated.
-    lam : (N,) eigenvalues, f64, clipped at 0 (K is PSD by construction).
+    Valid for ALL (tau, gam2) shifts — each iteration factors
+    gam2 I + tau K on the fly (cheap, MXU-bound).
     """
 
-    U: jax.Array
-    lam: jax.Array
+    K: jax.Array  # (N, N), work dtype, replicated
 
     @property
     def n(self) -> int:
-        return self.U.shape[0]
+        return self.K.shape[0]
 
 
 def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
@@ -114,7 +126,7 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
     return G, t, s2
 
 
-def gram(dm: DesignMatrix, block: int = 4096) -> jax.Array:
+def gram(dm: DesignMatrix, block: int = 16384) -> jax.Array:
     """K = A A^T as an (N, N) array in the operator's work dtype.
 
     The contraction over the (possibly sharded) marker dim is one weighted
@@ -152,68 +164,70 @@ def gram(dm: DesignMatrix, block: int = 4096) -> jax.Array:
 
     inv_n = (dm.inv_sqrt_n.astype(acc)) ** 2
     K = (G - t[:, None] - t[None, :] + s2) * inv_n
-    return 0.5 * (K + K.T)  # exact symmetry for eigh
+    return 0.5 * (K + K.T)  # exact symmetry for cholesky
 
 
-def build_spectral(dm: DesignMatrix, block: int = 4096) -> SpectralFactor:
-    """One-time factorization: Gram build (MXU) + eigh of the N×N Gram.
+def build_spectral(dm: DesignMatrix, block: int = 16384) -> GramFactor:
+    """One-time Gram build — M·N^2 FLOPs, amortized over every LMMSE solve
+    (and every (tau, gam2) shift) of the run."""
+    return GramFactor(K=gram(dm, block=block))
 
-    Cost ~ M·N^2 + O(N^3) FLOPs, amortized over every LMMSE solve of the
-    run; the factor is valid for ALL (tau, gam2) — only the N-vector of
-    shift coefficients changes per iteration.
-    """
-    K = gram(dm, block=block)
-    lam, U = jnp.linalg.eigh(K)
-    return SpectralFactor(
-        U=U.astype(dm.wd),
-        lam=jnp.maximum(lam.astype(jnp.float64), 0.0),
-    )
+
+def shift_cholesky(fac: GramFactor, tau, gam2) -> jax.Array:
+    """L with L L^T = gam2 I + tau K, in the factor's dtype."""
+    wd = fac.K.dtype
+    tau_c = jnp.asarray(tau).astype(wd)
+    gam2_c = jnp.asarray(gam2).astype(wd)
+    S = tau_c * fac.K + gam2_c * jnp.eye(fac.n, dtype=wd)
+    return jnp.linalg.cholesky(S)
 
 
 def spectral_solve(
     dm: DesignMatrix,
-    fac: SpectralFactor,
+    fac: GramFactor,
     v: jax.Array,
     tau,
     gam2,
     av: jax.Array | None = None,
+    L: jax.Array | None = None,
 ):
     """Exact mu = (tau A^T A + gam2 I)^{-1} v via Woodbury.
 
-    Returns (mu, z_mu) with z_mu = A mu computed algebraically from the
-    factor (no extra pass over X).  Pass `av = A v` if already available.
+    Returns (mu, z_mu) with z_mu = A mu obtained from the push-through
+    identity (no extra pass over X).  Pass `av = A v` and/or a precomputed
+    shift Cholesky `L` if already available.
     """
     wd = dm.wd
-    tau64 = jnp.asarray(tau, dtype=jnp.float64)
-    gam264 = jnp.asarray(gam2, dtype=jnp.float64)
-    tau_c = tau64.astype(wd)
-    gam2_c = gam264.astype(wd)
+    tau_c = jnp.asarray(tau).astype(wd)
+    gam2_c = jnp.asarray(gam2).astype(wd)
 
     vc = v.astype(wd)
     if av is None:
         av = ax(dm, vc)
-    s = fac.U.T @ av.astype(wd)                       # (N,) spectral coords of A v
-    coeff = 1.0 / (gam264 + tau64 * fac.lam)          # f64 shift, then one cast
-    sc = s * coeff.astype(wd)
-    q = fac.U @ sc                                    # (gam2 I + tau K)^{-1} A v
+    if L is None:
+        L = shift_cholesky(fac, tau, gam2)
+    q = jax.scipy.linalg.cho_solve((L, True), av.astype(wd))  # S^{-1} A v
     mu = (vc - tau_c * atx(dm, q)) / gam2_c
-    # A mu = (A v - tau K q)/gam2 and K q = U diag(lam) U^T q = U (lam ∘ sc)
-    z_mu = (av.astype(wd) - tau_c * (fac.U @ (fac.lam.astype(wd) * sc))) / gam2_c
-    return mu, z_mu
+    return mu, q  # q == A mu exactly (push-through identity)
 
 
-def spectral_traces(fac: SpectralFactor, mt, tau, gam2):
+def spectral_traces(fac: GramFactor, mt, tau, gam2, L: jax.Array | None = None):
     """Exact (tr Q^{-1}, tr(A^T A Q^{-1})) over the Mt real markers, f64.
 
     Replaces the reference's Hutchinson estimates (src/vamp.cpp:494-501 for
     alpha2 = gam2 u^T Q^{-1} u and src/vamp.cpp:518-521 for the gamma_w
-    trace correction) with their closed forms.
+    trace correction) with their closed forms via T = ||L^{-1}||_F^2.
     """
+    if L is None:
+        L = shift_cholesky(fac, tau, gam2)
+    n = fac.n
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(n, dtype=L.dtype), lower=True
+    )
+    T = jnp.sum(Linv.astype(jnp.float64) ** 2)
     tau64 = jnp.asarray(tau, dtype=jnp.float64)
     gam264 = jnp.asarray(gam2, dtype=jnp.float64)
     mt64 = jnp.asarray(mt, dtype=jnp.float64)
-    n = fac.lam.shape[0]
-    d = tau64 * fac.lam + gam264
-    tr_qinv = jnp.sum(1.0 / d) + (mt64 - n) / gam264
-    tr_ata_qinv = jnp.sum(fac.lam / d)
+    tr_qinv = T + (mt64 - n) / gam264
+    tr_ata_qinv = (n - gam264 * T) / tau64
     return tr_qinv, tr_ata_qinv
