@@ -168,7 +168,18 @@ def _iteration_phase(
         [r2_den, x1_corr, r2_lmmse, x2_corr, corr_y2_den, corr_y2_lmmse]
     )
 
+    # stopping-criterion NMSE (src/vamp.cpp:409-423), on-device so the host
+    # never fetches M-length vectors just to decide termination
+    dx = x1_hat - x1_hat_prev
+    denom = jnp.dot(x1_hat_prev, x1_hat_prev).astype(jnp.float64)
+    nmse = jnp.where(
+        denom > 0.0,
+        jnp.sqrt(jnp.dot(dx, dx).astype(jnp.float64) / jnp.where(denom > 0.0, denom, 1.0)),
+        jnp.inf,
+    )
+
     return dict(
+        nmse=nmse,
         x1_hat=x1_hat,
         alpha1=alpha1,
         eta1=eta1,
@@ -264,7 +275,18 @@ def _iteration_phase_spectral(
         [r2_den, x1_corr, r2_lmmse, x2_corr, corr_y2_den, corr_y2_lmmse]
     )
 
+    # stopping-criterion NMSE (src/vamp.cpp:409-423), on-device so the host
+    # never fetches M-length vectors just to decide termination
+    dx = x1_hat - x1_hat_prev
+    denom = jnp.dot(x1_hat_prev, x1_hat_prev).astype(jnp.float64)
+    nmse = jnp.where(
+        denom > 0.0,
+        jnp.sqrt(jnp.dot(dx, dx).astype(jnp.float64) / jnp.where(denom > 0.0, denom, 1.0)),
+        jnp.inf,
+    )
+
     return dict(
+        nmse=nmse,
         x1_hat=x1_hat,
         alpha1=alpha1,
         eta1=eta1,
@@ -413,8 +435,37 @@ def infere_linear(
     )
     itemsize = jnp.dtype(dm.X.dtype).itemsize
 
+    # device→host artifact IO overlaps the next iteration's compute (the
+    # relay fetch runs at ~20-25 MB/s — serial fetches would dominate at
+    # M ~ 1e6; see utils/async_writer.py)
+    from ..utils.async_writer import AsyncWriter
+
+    writer = AsyncWriter()
+
+    def _dump_iteration(k, x1_dev, r1_dev):
+        x1s = np.asarray(jax.device_get(x1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        r1s = np.asarray(jax.device_get(r1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k), x1s)
+        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"), r1s)
+
+    def _save_ckpt(k, x1_dev, r1_dev, mu_dev, gam1_k, gamw_k, prior_k, key_k):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(
+            cfg.checkpoint_file,
+            iteration=k,
+            arrays=dict(
+                x1_hat=np.asarray(jax.device_get(x1_dev), dtype=np.float64),
+                r1=np.asarray(jax.device_get(r1_dev), dtype=np.float64),
+                mu_warm=np.asarray(jax.device_get(mu_dev), dtype=np.float64),
+                y_adj=np.asarray(jax.device_get(y_adj), dtype=np.float64),
+            ),
+            scalars=dict(gam1=gam1_k, gamw=gamw_k),
+            prior=prior_k,
+            key=key_k,
+        )
+
     metrics_history = []
-    x1_scaled = np.zeros(Mt)
     it_done = 0
 
     for it in range(it_start, cfg.iterations + 1):
@@ -467,22 +518,26 @@ def infere_linear(
         gam1 = out["gam1"]
         gamw = out["gamw"]
 
-        # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and the
-        # r1 that was denoised this iteration, also /sqrt(N)
-        x1_scaled = np.asarray(x1_hat, dtype=np.float64)[:Mt] / sqrt_n
-        r1_scaled = np.asarray(r1_in, dtype=np.float64)[:Mt] / sqrt_n
+        # one batched fetch of every O(1) output (each separate float() is a
+        # ~5 ms relay round-trip)
+        host = jax.device_get(
+            {k: out[k] for k in (
+                "alpha1", "alpha2", "gam2", "gam1", "gamw",
+                "gam1_true", "gam2_true", "cg_iters", "metrics", "nmse",
+            )}
+        )
 
+        # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and
+        # the r1 that was denoised this iteration — fetched and written on the
+        # IO thread, overlapping the next iteration's compute
         if write_outputs:
-            write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
-            write_bin_slab(
-                iteration_file(cfg.out_dir, cfg.out_name, it, kind="r1_"), r1_scaled
-            )
+            writer.submit(_dump_iteration, it, x1_hat, r1_in)
 
-        metrics = np.asarray(out["metrics"])
+        metrics = np.asarray(host["metrics"])
         metrics_history.append(metrics)
         params_row = [
-            float(out["alpha1"]), gam1_denoise,
-            float(out["alpha2"]), float(out["gam2"]), float(gamw),
+            float(host["alpha1"]), gam1_denoise,
+            float(host["alpha2"]), float(host["gam2"]), float(host["gamw"]),
         ]
         if write_outputs:
             out_params.write_row(it, params_row)
@@ -492,51 +547,40 @@ def infere_linear(
             vr = np.asarray(prior.vars)[act] / N
             out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
 
-        _log(verbose, f"alpha1 = {float(out['alpha1'])}")
+        _log(verbose, f"alpha1 = {float(host['alpha1'])}")
         _log(verbose, f"gam1 = {gam1_denoise}")
-        _log(verbose, f"gam2 = {float(out['gam2'])}  (true {float(out['gam2_true'])})")
-        _log(verbose, f"alpha2 = {float(out['alpha2'])}")
-        _log(verbose, f"new gam1 = {float(gam1)}  (true {float(out['gam1_true'])})")
-        _log(verbose, f"gamw = {float(gamw)}")
-        _log(verbose, f"CG iters = {int(out['cg_iters'])}")
+        _log(verbose, f"gam2 = {float(host['gam2'])}  (true {float(host['gam2_true'])})")
+        _log(verbose, f"alpha2 = {float(host['alpha2'])}")
+        _log(verbose, f"new gam1 = {float(host['gam1'])}  (true {float(host['gam1_true'])})")
+        _log(verbose, f"gamw = {float(host['gamw'])}")
+        _log(verbose, f"CG iters = {int(host['cg_iters'])}")
         _log(verbose, f"metrics [R2_den, x1corr, R2_lmmse, x2corr, zcorr2_den, zcorr2_lmmse] = {metrics}")
 
         rec = tracer.stop(
-            it, int(out["cg_iters"]), M_pad, N, itemsize,
-            gam1=float(gam1), gamw=float(gamw),
+            it, int(host["cg_iters"]), M_pad, N, itemsize,
+            gam1=float(host["gam1"]), gamw=float(host["gamw"]),
         )
         _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
                       f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
                       f"total = {tracer.total_comp_time:.3f}s")
 
         if cfg.checkpoint_file:
-            from .checkpoint import save_checkpoint
-
-            save_checkpoint(
-                cfg.checkpoint_file,
-                iteration=it,
-                arrays=dict(
-                    x1_hat=np.asarray(x1_hat, dtype=np.float64),
-                    r1=np.asarray(r1, dtype=np.float64),
-                    mu_warm=np.asarray(mu_warm, dtype=np.float64),
-                    y_adj=np.asarray(y_adj, dtype=np.float64),
-                ),
-                scalars=dict(gam1=float(gam1), gamw=float(gamw)),
-                prior=prior,
-                key=key,
+            writer.submit(
+                _save_ckpt, it, x1_hat, r1, mu_warm,
+                float(host["gam1"]), float(host["gamw"]), prior, key,
             )
 
         it_done = it
 
-        # stopping criterion (src/vamp.cpp:405-423)
-        diff = np.asarray(x1_hat - x1_prev, dtype=np.float64)
-        x1p = np.asarray(x1_prev, dtype=np.float64)
-        denom = float(np.dot(x1p, x1p))
-        nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
+        # stopping criterion (src/vamp.cpp:405-423), computed on device
+        nmse = float(host["nmse"])
         _log(verbose, f"x1_hat NMSE = {nmse}")
         if it > 1 and nmse < cfg.stop_criteria_thr:
             _log(verbose, "...stopping criteria fulfilled")
             break
+
+    writer.close()  # all artifacts durably on disk before we return
+    x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)
     return LinearResult(

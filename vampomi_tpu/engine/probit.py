@@ -174,7 +174,17 @@ def _probit_phase(
     )
     params = jnp.stack([alpha1, beta1, gam1, tau1, alpha2, beta2, gam2, tau2])
 
+    # stopping-criterion NMSE on-device (src/vamp_probit.cpp:440-462)
+    dx = x1_hat - x1_hat_prev
+    denom = jnp.dot(x1_hat_prev, x1_hat_prev).astype(jnp.float64)
+    nmse = jnp.where(
+        denom > 0.0,
+        jnp.sqrt(jnp.dot(dx, dx).astype(jnp.float64) / jnp.where(denom > 0.0, denom, 1.0)),
+        jnp.inf,
+    )
+
     return dict(
+        nmse=nmse,
         x1_hat=x1_hat, alpha1=alpha1, gam2=gam2, r2=r2_new,
         x2_hat=x2_hat, alpha2=alpha2, r1=r1_new, gam1=gam1_new,
         p1=p1_new, p2=p2_new, tau1=tau1_new, tau2=tau2,
@@ -293,8 +303,32 @@ def infere_bin_class(
     )
     itemsize = jnp.dtype(dm.X.dtype).itemsize
 
+    from ..utils.async_writer import AsyncWriter
+
+    writer = AsyncWriter()
+
+    def _dump_iteration(k, x1_dev, r1_dev):
+        x1s = np.asarray(jax.device_get(x1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        r1s = np.asarray(jax.device_get(r1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k), x1s)
+        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"), r1s)
+
+    def _save_ckpt(k, arrays_dev, scalars, prior_k, key_k):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(
+            cfg.checkpoint_file,
+            iteration=k,
+            arrays={
+                name: np.asarray(jax.device_get(a), dtype=np.float64)
+                for name, a in arrays_dev.items()
+            },
+            scalars=scalars,
+            prior=prior_k,
+            key=key_k,
+        )
+
     metrics_history = []
-    x1_scaled = np.zeros(Mt)
     it_done = 0
 
     for it in range(it_start, cfg.iterations + 1):
@@ -346,68 +380,61 @@ def infere_bin_class(
         p1, p2 = out["p1"], out["p2"]
         gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
 
-        x1_scaled = np.asarray(x1_hat, dtype=np.float64)[:Mt] / sqrt_n
-        r1_scaled = np.asarray(r1_in, dtype=np.float64)[:Mt] / sqrt_n
-        if write_outputs:
-            write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, it), x1_scaled)
-            write_bin_slab(
-                iteration_file(cfg.out_dir, cfg.out_name, it, kind="r1_"), r1_scaled
-            )
+        # one batched fetch of every O(1) output
+        host = jax.device_get(
+            {k: out[k] for k in (
+                "params", "metrics", "cg_iters", "nmse",
+                "gam1", "tau1", "gam2", "alpha1",
+            )}
+        )
 
-        metrics = np.asarray(out["metrics"])
+        # artifact dumps on the IO thread, overlapping the next iteration
+        if write_outputs:
+            writer.submit(_dump_iteration, it, x1_hat, r1_in)
+
+        metrics = np.asarray(host["metrics"])
         metrics_history.append(metrics)
         if write_outputs:
-            out_params.write_row(it, np.asarray(out["params"]).tolist())
+            out_params.write_row(it, np.asarray(host["params"]).tolist())
             out_metrics.write_row(it, metrics.tolist())
             act = np.asarray(prior.active)
             pr = np.asarray(prior.probs)[act]
             vr = np.asarray(prior.vars)[act]  # internal ×N scale (line 428)
             out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
 
-        _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(out['params'])}")
+        _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(host['params'])}")
         _log(verbose, f"acc1 = {metrics[4]:.4f}, acc2 = {metrics[10]:.4f}, "
-                      f"x1_corr = {metrics[5]:.4f}, CG iters = {int(out['cg_iters'])}")
+                      f"x1_corr = {metrics[5]:.4f}, CG iters = {int(host['cg_iters'])}")
 
         rec = tracer.stop(
-            it, int(out["cg_iters"]), M_pad, N, itemsize,
-            gam1=float(gam1), tau1=float(tau1),
+            it, int(host["cg_iters"]), M_pad, N, itemsize,
+            gam1=float(host["gam1"]), tau1=float(host["tau1"]),
         )
         _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
                       f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
                       f"total = {tracer.total_comp_time:.3f}s")
 
         if cfg.checkpoint_file:
-            from .checkpoint import save_checkpoint
-
-            save_checkpoint(
-                cfg.checkpoint_file,
-                iteration=it,
-                arrays=dict(
-                    x1_hat=np.asarray(x1_hat, dtype=np.float64),
-                    r1=np.asarray(r1, dtype=np.float64),
-                    r2=np.asarray(r2, dtype=np.float64),
-                    p1=np.asarray(p1, dtype=np.float64),
-                    p2=np.asarray(p2, dtype=np.float64),
-                    m_cov=np.asarray(m_cov, dtype=np.float64),
+            writer.submit(
+                _save_ckpt, it,
+                dict(x1_hat=x1_hat, r1=r1, r2=r2, p1=p1, p2=p2, m_cov=m_cov),
+                dict(
+                    gam1=float(host["gam1"]), tau1=float(host["tau1"]),
+                    gam2=float(host["gam2"]), alpha1=float(host["alpha1"]),
                 ),
-                scalars=dict(
-                    gam1=float(gam1), tau1=float(tau1), gam2=float(gam2),
-                    alpha1=float(alpha1),
-                ),
-                prior=prior,
-                key=key,
+                prior, key,
             )
 
         it_done = it
 
-        diff = np.asarray(x1_hat - x1_prev, dtype=np.float64)
-        x1p = np.asarray(x1_prev, dtype=np.float64)
-        denom = float(np.dot(x1p, x1p))
-        nmse = float(np.sqrt(np.dot(diff, diff) / denom)) if denom > 0 else np.inf
+        nmse = float(host["nmse"])
         _log(verbose, f"x1_hat NMSE = {nmse}")
         if it > 1 and nmse < cfg.stop_criteria_thr:
             _log(verbose, "...stopping criteria fulfilled")
             break
+
+    writer.close()
+    x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)
     return ProbitResult(
