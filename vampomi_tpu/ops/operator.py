@@ -80,12 +80,32 @@ def _accum_dtype(dm: DesignMatrix):
     return jnp.float32 if dm.X.dtype == jnp.bfloat16 else dm.X.dtype
 
 
+def _use_pallas(dm: DesignMatrix) -> bool:
+    """Opt-in Pallas matvec kernels (ops/pallas_matvec.py): VAMPOMI_PALLAS=1,
+    TPU default device, low-precision X, single-shard layout (the sharded
+    path goes through XLA's sharded einsum + all-reduce instead)."""
+    import os
+
+    if os.environ.get("VAMPOMI_PALLAS") != "1":
+        return False
+    if dm.X.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     """z = A x for x (M_pad,) → (N,), in the work dtype.
 
     Matches reference `data::Ax` (src/data.cpp:340-373): per-marker
     (X_j - mu_j) * sigma_inv_j * x_j accumulated over markers, then / sqrt(N).
     """
+    if _use_pallas(dm):
+        from .pallas_matvec import ax_pallas
+
+        return ax_pallas(dm.X, x, dm.mave, dm.msig, dm.inv_sqrt_n)
     w = dm.msig * x.astype(dm.wd)
     z = jnp.einsum(
         "m,mn->n", w.astype(dm.X.dtype), dm.X,
@@ -100,6 +120,10 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
 
     Matches reference `data::ATx` (src/data.cpp:315-333).
     """
+    if _use_pallas(dm):
+        from .pallas_matvec import atx_pallas
+
+        return atx_pallas(dm.X, y, dm.mave, dm.msig, dm.inv_sqrt_n)
     yc = y.astype(dm.wd)
     xy = jnp.einsum(
         "mn,n->m", dm.X, yc.astype(dm.X.dtype),
