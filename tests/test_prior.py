@@ -136,3 +136,27 @@ def test_g1_ignores_inactive_components():
     np.testing.assert_allclose(
         np.asarray(g1(r, 1.5, masked)), np.asarray(g1(r, 1.5, active_prior)), rtol=1e-12
     )
+
+
+def test_merge_device_matches_host():
+    import jax.numpy as jnp
+
+    from vampomi_tpu.prior.mixture import (
+        MixturePrior, merge_components, merge_components_device,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        L = 8
+        probs = rng.dirichlet(np.ones(L))
+        vars_ = np.sort(rng.uniform(0, 1.0, L)) * rng.choice([0.0, 1.0], L, p=[0.2, 0.8])
+        active = rng.uniform(size=L) < 0.9
+        thr = rng.uniform(0.05, 0.8)
+        ph, vh, ah = merge_components(probs, vars_, active, thr)
+        pd = merge_components_device(
+            MixturePrior(jnp.asarray(probs), jnp.asarray(vars_), jnp.asarray(active)),
+            thr,
+        )
+        np.testing.assert_allclose(np.asarray(pd.probs), ph, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pd.vars), vh, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(pd.active), ah)

@@ -39,7 +39,9 @@ from ..ops.operator import DesignMatrix, atx, ax
 from ..ops.spectral import (
     GramFactor, build_spectral, shift_cholesky, spectral_solve, spectral_traces,
 )
-from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
+from ..prior.mixture import (
+    MixturePrior, em_update, g1, g1d, merge_components_device,
+)
 from .metrics import prediction_metrics, signal_metrics
 
 GAMMA_MIN = 1e-11  # reference src/vamp.hpp:33
@@ -73,11 +75,14 @@ class LinearResult(NamedTuple):
 
 @jax.jit
 def _em_phase(dm: DesignMatrix, r1, gam1, prior: MixturePrior,
-              em_max_iter, em_err_thr, learn_vars):
-    return em_update(
+              em_max_iter, em_err_thr, learn_vars, merge_vars_thr):
+    """EM prior update + component merge, one jitted dispatch
+    (reference: src/vamp.cpp:531-643 updatePrior + 627-642 merge)."""
+    prior = em_update(
         r1, gam1, prior, dm.mmask, dm.mt,
         em_max_iter=em_max_iter, em_err_thr=em_err_thr, learn_vars=learn_vars,
     )
+    return merge_components_device(prior, merge_vars_thr)
 
 
 @jax.jit
@@ -473,19 +478,12 @@ def infere_linear(
         tracer.start()
         _log(verbose, f"\n********************\niteration = {it}\n********************")
 
-        # EM prior update + merge (src/vamp.cpp:186-187 -> updatePrior)
+        # EM prior update + merge, fully on device (src/vamp.cpp:186-187)
         if it > cfg.learn_prior_delay:
             prior = _em_phase(
                 dm, r1, gam1, prior,
                 jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
-                jnp.asarray(bool(cfg.learn_vars)),
-            )
-            p_np, v_np, a_np = merge_components(
-                np.asarray(prior.probs), np.asarray(prior.vars),
-                np.asarray(prior.active), cfg.merge_vars_thr,
-            )
-            prior = MixturePrior(
-                probs=jnp.asarray(p_np), vars=jnp.asarray(v_np), active=jnp.asarray(a_np)
+                jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
             )
 
         # fresh Rademacher trace probe (seeded; fixes reference quirk Q4).
@@ -520,11 +518,11 @@ def infere_linear(
 
         # one batched fetch of every O(1) output (each separate float() is a
         # ~5 ms relay round-trip)
-        host = jax.device_get(
-            {k: out[k] for k in (
+        host, prior_h = jax.device_get(
+            ({k: out[k] for k in (
                 "alpha1", "alpha2", "gam2", "gam1", "gamw",
                 "gam1_true", "gam2_true", "cg_iters", "metrics", "nmse",
-            )}
+            )}, prior)
         )
 
         # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and
@@ -542,9 +540,9 @@ def infere_linear(
         if write_outputs:
             out_params.write_row(it, params_row)
             out_metrics.write_row(it, metrics.tolist())
-            act = np.asarray(prior.active)
-            pr = np.asarray(prior.probs)[act]
-            vr = np.asarray(prior.vars)[act] / N
+            act = np.asarray(prior_h.active)
+            pr = np.asarray(prior_h.probs)[act]
+            vr = np.asarray(prior_h.vars)[act] / N
             out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
 
         _log(verbose, f"alpha1 = {float(host['alpha1'])}")

@@ -39,7 +39,7 @@ from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
 from ..ops.spectral import build_spectral, shift_cholesky, spectral_solve, spectral_traces
-from ..prior.mixture import MixturePrior, em_update, g1, g1d, merge_components
+from ..prior.mixture import MixturePrior, em_update, g1, g1d
 from .linear import (
     GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
     choose_lmmse_solver,
@@ -363,15 +363,7 @@ def infere_bin_class(
             prior = _em_phase(
                 dm, r1_in, gam1, prior,
                 jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
-                jnp.asarray(bool(cfg.learn_vars)),
-            )
-            p_np, v_np, a_np = merge_components(
-                np.asarray(prior.probs), np.asarray(prior.vars),
-                np.asarray(prior.active), cfg.merge_vars_thr,
-            )
-            prior = MixturePrior(
-                probs=jnp.asarray(p_np), vars=jnp.asarray(v_np),
-                active=jnp.asarray(a_np),
+                jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
             )
 
         x1_hat = out["x1_hat"]
@@ -381,11 +373,11 @@ def infere_bin_class(
         gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
 
         # one batched fetch of every O(1) output
-        host = jax.device_get(
-            {k: out[k] for k in (
+        host, prior_h = jax.device_get(
+            ({k: out[k] for k in (
                 "params", "metrics", "cg_iters", "nmse",
                 "gam1", "tau1", "gam2", "alpha1",
-            )}
+            )}, prior)
         )
 
         # artifact dumps on the IO thread, overlapping the next iteration
@@ -397,9 +389,9 @@ def infere_bin_class(
         if write_outputs:
             out_params.write_row(it, np.asarray(host["params"]).tolist())
             out_metrics.write_row(it, metrics.tolist())
-            act = np.asarray(prior.active)
-            pr = np.asarray(prior.probs)[act]
-            vr = np.asarray(prior.vars)[act]  # internal ×N scale (line 428)
+            act = np.asarray(prior_h.active)
+            pr = np.asarray(prior_h.probs)[act]
+            vr = np.asarray(prior_h.vars)[act]  # internal ×N scale (line 428)
             out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
 
         _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(host['params'])}")

@@ -227,6 +227,28 @@ def merge_components(
     return probs, vars_, active
 
 
+def merge_components_device(prior: MixturePrior, merge_vars_thr) -> MixturePrior:
+    """On-device merge with identical semantics to `merge_components`
+    (reference: src/vamp.cpp:627-642), unrolled over the static component
+    count (L <= ~10, so ~L^2/2 scalar selects).  Keeping the merge inside
+    the jitted EM phase removes ~6 host round-trips per iteration — the
+    dominant per-iteration cost at production scale on the relayed TPU.
+    """
+    probs, vars_, active = prior.probs, prior.vars, prior.active
+    thr = jnp.asarray(merge_vars_thr, dtype=jnp.float64)
+    L = probs.shape[0]
+    for j in range(L):
+        for k in range(j + 1, L):
+            denom = jnp.where(
+                vars_[j] != 0.0, jnp.minimum(vars_[j], vars_[k]), 1e-7
+            )
+            do = active[j] & active[k] & (jnp.abs(vars_[j] - vars_[k]) / denom < thr)
+            probs = probs.at[j].add(jnp.where(do, probs[k], 0.0))
+            probs = probs.at[k].set(jnp.where(do, 0.0, probs[k]))
+            active = active.at[k].set(jnp.where(do, False, active[k]))
+    return MixturePrior(probs=probs, vars=vars_, active=active)
+
+
 def init_prior(probs, vars_, n_samples: int, l_max: int | None = None) -> MixturePrior:
     """Build a MixturePrior from CLI-style probs/vars (unscaled); variances
     are scaled by N internally (reference: src/vamp.cpp:87-88)."""
