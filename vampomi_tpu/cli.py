@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume exactly from a checkpoint .npz")
     x.add_argument("--trace", type=int, default=1,
                    help="write <out>_trace.jsonl per-iteration telemetry")
+    x.add_argument("--profile-dir", default="",
+                   help="capture a JAX/XLA profiler trace of the run into "
+                        "this directory (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -130,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     mesh = make_mesh()
     dtype = cfg.resolved_compute_dtype()
 
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(cfg.profile_dir)
+        if cfg.profile_dir else contextlib.nullcontext()
+    )
+
     if cfg.run_mode == "infere":
         ds = load_dataset(
             cfg.meth_file, cfg.phen_file, cfg.N, cfg.Mt, cfg.model, mesh, dtype,
@@ -145,12 +155,14 @@ def main(argv: list[str] | None = None) -> int:
         if cfg.model == "bin_class":
             from .engine.probit import infere_bin_class
 
-            infere_bin_class(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
-                             covariates=ds.covariates)
+            with profile_ctx:
+                infere_bin_class(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
+                                 covariates=ds.covariates)
         else:
             from .engine.linear import infere_linear
 
-            infere_linear(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
+            with profile_ctx:
+                infere_linear(ds.dm, ds.phen.y, cfg, true_signal, x1hat_init,
                           covariates=ds.covariates)
 
     elif cfg.run_mode == "test":

@@ -74,6 +74,7 @@ class RunConfig:
     checkpoint_file: str = ""     # write exact-state .npz after each iteration
     resume_file: str = ""         # resume exactly from a checkpoint .npz
     trace: int = 1                # write <out>_trace.jsonl telemetry
+    profile_dir: str = ""         # capture a jax.profiler trace into this dir
 
     def resolved_compute_dtype(self):
         import jax
