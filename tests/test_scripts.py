@@ -180,3 +180,23 @@ def test_sim_top_iid_npy_stores(tmp_path):
 
     beta = np.fromfile(out / (r["fname"] + "_beta_true.bin"))
     assert (beta != 0).sum() == int(m * 0.1)
+
+def test_cli_consumes_init_conf(tmp_path):
+    from vampomi_tpu.cli import parse_config
+
+    conf = tmp_path / "w.conf"
+    conf.write_text(
+        "ID\trho\tmix_comp\tlambda\tprobs\tvars\th2\n"
+        "x\t0.35\t3\t0.1\t0.9,0.07,0.03\t0.0,0.001,0.01\t0.77\n"
+    )
+    cfg = parse_config([
+        "--meth-file", "m.bin", "--init-conf", str(conf),
+    ])
+    assert cfg.rho == 0.35 and cfg.h2 == 0.77
+    assert cfg.probs == [0.9, 0.07, 0.03]
+    assert cfg.vars == [0.0, 0.001, 0.01]
+    # explicit flags still win
+    cfg2 = parse_config([
+        "--meth-file", "m.bin", "--init-conf", str(conf), "--probs", "0.5,0.5",
+    ])
+    assert cfg2.probs == [0.5, 0.5]

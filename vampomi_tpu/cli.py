@@ -88,10 +88,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume exactly from a checkpoint .npz")
     x.add_argument("--trace", type=int, default=1,
                    help="write <out>_trace.jsonl per-iteration telemetry")
+    x.add_argument("--init-conf", default="",
+                   help="Gibbs warm-start .conf (scripts/conf_gibbs_init.py): "
+                        "loads rho/probs/vars/h2; explicit --probs/--vars "
+                        "flags still win (the reference consumed the .conf "
+                        "via shell glue, README.md:185-196)")
     x.add_argument("--profile-dir", default="",
                    help="capture a JAX/XLA profiler trace of the run into "
                         "this directory (view with TensorBoard/Perfetto)")
     return p
+
+
+def load_init_conf(path: str) -> dict:
+    """Parse a conf_gibbs_init .conf (tab-separated: ID rho mix_comp lambda
+    probs vars h2; probs/vars comma-joined)."""
+    lines = [l for l in open(path).read().splitlines() if l.strip()]
+    header = lines[0].split("\t")
+    fields = dict(zip(header, lines[1].split("\t")))
+    return dict(
+        rho=float(fields["rho"]),
+        h2=float(fields["h2"]),
+        probs=[float(v) for v in fields["probs"].split(",")],
+        vars=[float(v) for v in fields["vars"].split(",")],
+    )
 
 
 def parse_config(argv: list[str]) -> RunConfig:
@@ -99,9 +118,13 @@ def parse_config(argv: list[str]) -> RunConfig:
     cfg = RunConfig()
     for f in vars(args):
         key = f  # argparse already converted dashes to underscores
-        if key in ("vars", "probs", "test_iter_range"):
+        if key in ("vars", "probs", "test_iter_range", "init_conf"):
             continue
         setattr(cfg, key, getattr(args, f))
+    if args.init_conf:
+        conf = load_init_conf(args.init_conf)
+        cfg.rho, cfg.h2 = conf["rho"], conf["h2"]
+        cfg.probs, cfg.vars = conf["probs"], conf["vars"]
     if args.vars:
         cfg.vars = [float(v) for v in args.vars.split(",")]
     if args.probs:
