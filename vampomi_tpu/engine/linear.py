@@ -473,111 +473,113 @@ def infere_linear(
     metrics_history = []
     it_done = 0
 
-    for it in range(it_start, cfg.iterations + 1):
-        t0 = time.time()
-        tracer.start()
-        _log(verbose, f"\n********************\niteration = {it}\n********************")
+    try:
+        for it in range(it_start, cfg.iterations + 1):
+            t0 = time.time()
+            tracer.start()
+            _log(verbose, f"\n********************\niteration = {it}\n********************")
 
-        # EM prior update + merge, fully on device (src/vamp.cpp:186-187)
-        if it > cfg.learn_prior_delay:
-            prior = _em_phase(
-                dm, r1, gam1, prior,
-                jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
-                jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+            # EM prior update + merge, fully on device (src/vamp.cpp:186-187)
+            if it > cfg.learn_prior_delay:
+                prior = _em_phase(
+                    dm, r1, gam1, prior,
+                    jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+                    jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                )
+
+            # fresh Rademacher trace probe (seeded; fixes reference quirk Q4).
+            # The key is split every iteration regardless of solver so checkpoints
+            # taken under either solver resume with an identical RNG stream.
+            key, sub = jax.random.split(key)
+
+            x1_prev = x1_hat
+            r1_in = r1  # the r1 this iteration denoises; dumped to _r1_it_<k>.bin
+            if solver == "spectral":
+                out = _iteration_phase_spectral(
+                    dm, fac, aty_adj, y_raw, r1, gam1, prior, x1_prev,
+                    jnp.asarray(it > 1), rho, gamw, ts,
+                )
+            else:
+                bern = (
+                    jax.random.rademacher(sub, (M_pad,), dtype=wd)
+                    * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
+                ) * dm.mmask
+                out = _iteration_phase(
+                    dm, y_adj, y_raw, r1, gam1, prior, x1_prev,
+                    jnp.asarray(it > 1), rho, gamw, mu_warm, bern, ts,
+                    jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+                )
+
+            x1_hat = out["x1_hat"]
+            mu_warm = out["x2_hat"]  # CG warm start (src/vamp.cpp:308-311, 753-754)
+            r1 = out["r1"]
+            gam1_denoise = float(gam1)  # params CSV records the pre-LMMSE gam1
+            gam1 = out["gam1"]
+            gamw = out["gamw"]
+
+            # one batched fetch of every O(1) output (each separate float() is a
+            # ~5 ms relay round-trip)
+            host, prior_h = jax.device_get(
+                ({k: out[k] for k in (
+                    "alpha1", "alpha2", "gam2", "gam1", "gamw",
+                    "gam1_true", "gam2_true", "cg_iters", "metrics", "nmse",
+                )}, prior)
             )
 
-        # fresh Rademacher trace probe (seeded; fixes reference quirk Q4).
-        # The key is split every iteration regardless of solver so checkpoints
-        # taken under either solver resume with an identical RNG stream.
-        key, sub = jax.random.split(key)
+            # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and
+            # the r1 that was denoised this iteration — fetched and written on the
+            # IO thread, overlapping the next iteration's compute
+            if write_outputs:
+                writer.submit(_dump_iteration, it, x1_hat, r1_in)
 
-        x1_prev = x1_hat
-        r1_in = r1  # the r1 this iteration denoises; dumped to _r1_it_<k>.bin
-        if solver == "spectral":
-            out = _iteration_phase_spectral(
-                dm, fac, aty_adj, y_raw, r1, gam1, prior, x1_prev,
-                jnp.asarray(it > 1), rho, gamw, ts,
+            metrics = np.asarray(host["metrics"])
+            metrics_history.append(metrics)
+            params_row = [
+                float(host["alpha1"]), gam1_denoise,
+                float(host["alpha2"]), float(host["gam2"]), float(host["gamw"]),
+            ]
+            if write_outputs:
+                out_params.write_row(it, params_row)
+                out_metrics.write_row(it, metrics.tolist())
+                act = np.asarray(prior_h.active)
+                pr = np.asarray(prior_h.probs)[act]
+                vr = np.asarray(prior_h.vars)[act] / N
+                out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
+
+            _log(verbose, f"alpha1 = {float(host['alpha1'])}")
+            _log(verbose, f"gam1 = {gam1_denoise}")
+            _log(verbose, f"gam2 = {float(host['gam2'])}  (true {float(host['gam2_true'])})")
+            _log(verbose, f"alpha2 = {float(host['alpha2'])}")
+            _log(verbose, f"new gam1 = {float(host['gam1'])}  (true {float(host['gam1_true'])})")
+            _log(verbose, f"gamw = {float(host['gamw'])}")
+            _log(verbose, f"CG iters = {int(host['cg_iters'])}")
+            _log(verbose, f"metrics [R2_den, x1corr, R2_lmmse, x2corr, zcorr2_den, zcorr2_lmmse] = {metrics}")
+
+            rec = tracer.stop(
+                it, int(host["cg_iters"]), M_pad, N, itemsize,
+                gam1=float(host["gam1"]), gamw=float(host["gamw"]),
             )
-        else:
-            bern = (
-                jax.random.rademacher(sub, (M_pad,), dtype=wd)
-                * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
-            ) * dm.mmask
-            out = _iteration_phase(
-                dm, y_adj, y_raw, r1, gam1, prior, x1_prev,
-                jnp.asarray(it > 1), rho, gamw, mu_warm, bern, ts,
-                jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
-            )
+            _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
+                          f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
+                          f"total = {tracer.total_comp_time:.3f}s")
 
-        x1_hat = out["x1_hat"]
-        mu_warm = out["x2_hat"]  # CG warm start (src/vamp.cpp:308-311, 753-754)
-        r1 = out["r1"]
-        gam1_denoise = float(gam1)  # params CSV records the pre-LMMSE gam1
-        gam1 = out["gam1"]
-        gamw = out["gamw"]
+            if cfg.checkpoint_file:
+                writer.submit(
+                    _save_ckpt, it, x1_hat, r1, mu_warm,
+                    float(host["gam1"]), float(host["gamw"]), prior, key,
+                )
 
-        # one batched fetch of every O(1) output (each separate float() is a
-        # ~5 ms relay round-trip)
-        host, prior_h = jax.device_get(
-            ({k: out[k] for k in (
-                "alpha1", "alpha2", "gam2", "gam1", "gamw",
-                "gam1_true", "gam2_true", "cg_iters", "metrics", "nmse",
-            )}, prior)
-        )
+            it_done = it
 
-        # per-iteration artifacts (src/vamp.cpp:234-252): x1_hat/sqrt(N) and
-        # the r1 that was denoised this iteration — fetched and written on the
-        # IO thread, overlapping the next iteration's compute
-        if write_outputs:
-            writer.submit(_dump_iteration, it, x1_hat, r1_in)
+            # stopping criterion (src/vamp.cpp:405-423), computed on device
+            nmse = float(host["nmse"])
+            _log(verbose, f"x1_hat NMSE = {nmse}")
+            if it > 1 and nmse < cfg.stop_criteria_thr:
+                _log(verbose, "...stopping criteria fulfilled")
+                break
 
-        metrics = np.asarray(host["metrics"])
-        metrics_history.append(metrics)
-        params_row = [
-            float(host["alpha1"]), gam1_denoise,
-            float(host["alpha2"]), float(host["gam2"]), float(host["gamw"]),
-        ]
-        if write_outputs:
-            out_params.write_row(it, params_row)
-            out_metrics.write_row(it, metrics.tolist())
-            act = np.asarray(prior_h.active)
-            pr = np.asarray(prior_h.probs)[act]
-            vr = np.asarray(prior_h.vars)[act] / N
-            out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
-
-        _log(verbose, f"alpha1 = {float(host['alpha1'])}")
-        _log(verbose, f"gam1 = {gam1_denoise}")
-        _log(verbose, f"gam2 = {float(host['gam2'])}  (true {float(host['gam2_true'])})")
-        _log(verbose, f"alpha2 = {float(host['alpha2'])}")
-        _log(verbose, f"new gam1 = {float(host['gam1'])}  (true {float(host['gam1_true'])})")
-        _log(verbose, f"gamw = {float(host['gamw'])}")
-        _log(verbose, f"CG iters = {int(host['cg_iters'])}")
-        _log(verbose, f"metrics [R2_den, x1corr, R2_lmmse, x2corr, zcorr2_den, zcorr2_lmmse] = {metrics}")
-
-        rec = tracer.stop(
-            it, int(host["cg_iters"]), M_pad, N, itemsize,
-            gam1=float(host["gam1"]), gamw=float(host["gamw"]),
-        )
-        _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
-                      f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
-                      f"total = {tracer.total_comp_time:.3f}s")
-
-        if cfg.checkpoint_file:
-            writer.submit(
-                _save_ckpt, it, x1_hat, r1, mu_warm,
-                float(host["gam1"]), float(host["gamw"]), prior, key,
-            )
-
-        it_done = it
-
-        # stopping criterion (src/vamp.cpp:405-423), computed on device
-        nmse = float(host["nmse"])
-        _log(verbose, f"x1_hat NMSE = {nmse}")
-        if it > 1 and nmse < cfg.stop_criteria_thr:
-            _log(verbose, "...stopping criteria fulfilled")
-            break
-
-    writer.close()  # all artifacts durably on disk before we return
+    finally:
+        writer.close()  # artifacts durably on disk even on error paths
     x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)

@@ -331,101 +331,103 @@ def infere_bin_class(
     metrics_history = []
     it_done = 0
 
-    for it in range(it_start, cfg.iterations + 1):
-        t0 = time.time()
-        tracer.start()
-        _log(verbose, f"\n********************\niteration = {it}\n********************")
+    try:
+        for it in range(it_start, cfg.iterations + 1):
+            t0 = time.time()
+            tracer.start()
+            _log(verbose, f"\n********************\niteration = {it}\n********************")
 
-        key, sub = jax.random.split(key)
-        if solver == "spectral":
-            bern = jnp.zeros(M_pad, dtype=wd)  # probe unused: traces are exact
-        else:
-            bern = (
-                jax.random.rademacher(sub, (M_pad,), dtype=wd)
-                * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
-            ) * dm.mmask
+            key, sub = jax.random.split(key)
+            if solver == "spectral":
+                bern = jnp.zeros(M_pad, dtype=wd)  # probe unused: traces are exact
+            else:
+                bern = (
+                    jax.random.rademacher(sub, (M_pad,), dtype=wd)
+                    * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
+                ) * dm.mmask
 
-        x1_prev = x1_hat
-        r1_in = r1
-        out = _probit_phase(
-            dm, y_j, m_cov, r1, r2, p1, p2,
-            gam1, tau1, gam2, alpha1, prior, x1_prev,
-            jnp.asarray(it > 1), rho, probit_var, bern, ts_scaled,
-            jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
-            fac=fac, solver=solver,
-        )
-
-        # EM prior update for the NEXT iteration (g1 above used the old prior;
-        # reference calls updatePrior after the denoiser, src/vamp_probit.cpp:139)
-        if it > 1:
-            from .linear import _em_phase
-
-            prior = _em_phase(
-                dm, r1_in, gam1, prior,
-                jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
-                jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+            x1_prev = x1_hat
+            r1_in = r1
+            out = _probit_phase(
+                dm, y_j, m_cov, r1, r2, p1, p2,
+                gam1, tau1, gam2, alpha1, prior, x1_prev,
+                jnp.asarray(it > 1), rho, probit_var, bern, ts_scaled,
+                jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+                fac=fac, solver=solver,
             )
 
-        x1_hat = out["x1_hat"]
-        alpha1 = out["alpha1"]
-        r1, r2 = out["r1"], out["r2"]
-        p1, p2 = out["p1"], out["p2"]
-        gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
+            # EM prior update for the NEXT iteration (g1 above used the old prior;
+            # reference calls updatePrior after the denoiser, src/vamp_probit.cpp:139)
+            if it > 1:
+                from .linear import _em_phase
 
-        # one batched fetch of every O(1) output
-        host, prior_h = jax.device_get(
-            ({k: out[k] for k in (
-                "params", "metrics", "cg_iters", "nmse",
-                "gam1", "tau1", "gam2", "alpha1",
-            )}, prior)
-        )
+                prior = _em_phase(
+                    dm, r1_in, gam1, prior,
+                    jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+                    jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                )
 
-        # artifact dumps on the IO thread, overlapping the next iteration
-        if write_outputs:
-            writer.submit(_dump_iteration, it, x1_hat, r1_in)
+            x1_hat = out["x1_hat"]
+            alpha1 = out["alpha1"]
+            r1, r2 = out["r1"], out["r2"]
+            p1, p2 = out["p1"], out["p2"]
+            gam1, gam2, tau1 = out["gam1"], out["gam2"], out["tau1"]
 
-        metrics = np.asarray(host["metrics"])
-        metrics_history.append(metrics)
-        if write_outputs:
-            out_params.write_row(it, np.asarray(host["params"]).tolist())
-            out_metrics.write_row(it, metrics.tolist())
-            act = np.asarray(prior_h.active)
-            pr = np.asarray(prior_h.probs)[act]
-            vr = np.asarray(prior_h.vars)[act]  # internal ×N scale (line 428)
-            out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
-
-        _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(host['params'])}")
-        _log(verbose, f"acc1 = {metrics[4]:.4f}, acc2 = {metrics[10]:.4f}, "
-                      f"x1_corr = {metrics[5]:.4f}, CG iters = {int(host['cg_iters'])}")
-
-        rec = tracer.stop(
-            it, int(host["cg_iters"]), M_pad, N, itemsize,
-            gam1=float(host["gam1"]), tau1=float(host["tau1"]),
-        )
-        _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
-                      f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
-                      f"total = {tracer.total_comp_time:.3f}s")
-
-        if cfg.checkpoint_file:
-            writer.submit(
-                _save_ckpt, it,
-                dict(x1_hat=x1_hat, r1=r1, r2=r2, p1=p1, p2=p2, m_cov=m_cov),
-                dict(
-                    gam1=float(host["gam1"]), tau1=float(host["tau1"]),
-                    gam2=float(host["gam2"]), alpha1=float(host["alpha1"]),
-                ),
-                prior, key,
+            # one batched fetch of every O(1) output
+            host, prior_h = jax.device_get(
+                ({k: out[k] for k in (
+                    "params", "metrics", "cg_iters", "nmse",
+                    "gam1", "tau1", "gam2", "alpha1",
+                )}, prior)
             )
 
-        it_done = it
+            # artifact dumps on the IO thread, overlapping the next iteration
+            if write_outputs:
+                writer.submit(_dump_iteration, it, x1_hat, r1_in)
 
-        nmse = float(host["nmse"])
-        _log(verbose, f"x1_hat NMSE = {nmse}")
-        if it > 1 and nmse < cfg.stop_criteria_thr:
-            _log(verbose, "...stopping criteria fulfilled")
-            break
+            metrics = np.asarray(host["metrics"])
+            metrics_history.append(metrics)
+            if write_outputs:
+                out_params.write_row(it, np.asarray(host["params"]).tolist())
+                out_metrics.write_row(it, metrics.tolist())
+                act = np.asarray(prior_h.active)
+                pr = np.asarray(prior_h.probs)[act]
+                vr = np.asarray(prior_h.vars)[act]  # internal ×N scale (line 428)
+                out_prior.write_row(it, [float(len(pr))] + pr.tolist() + vr.tolist())
 
-    writer.close()
+            _log(verbose, f"params [a1,b1,g1,t1,a2,b2,g2,t2] = {np.asarray(host['params'])}")
+            _log(verbose, f"acc1 = {metrics[4]:.4f}, acc2 = {metrics[10]:.4f}, "
+                          f"x1_corr = {metrics[5]:.4f}, CG iters = {int(host['cg_iters'])}")
+
+            rec = tracer.stop(
+                it, int(host["cg_iters"]), M_pad, N, itemsize,
+                gam1=float(host["gam1"]), tau1=float(host["tau1"]),
+            )
+            _log(verbose, f"iteration time = {rec.seconds:.3f}s  "
+                          f"(~{rec.matrix_passes} matrix passes, {rec.gbps:.1f} GB/s)  "
+                          f"total = {tracer.total_comp_time:.3f}s")
+
+            if cfg.checkpoint_file:
+                writer.submit(
+                    _save_ckpt, it,
+                    dict(x1_hat=x1_hat, r1=r1, r2=r2, p1=p1, p2=p2, m_cov=m_cov),
+                    dict(
+                        gam1=float(host["gam1"]), tau1=float(host["tau1"]),
+                        gam2=float(host["gam2"]), alpha1=float(host["alpha1"]),
+                    ),
+                    prior, key,
+                )
+
+            it_done = it
+
+            nmse = float(host["nmse"])
+            _log(verbose, f"x1_hat NMSE = {nmse}")
+            if it > 1 and nmse < cfg.stop_criteria_thr:
+                _log(verbose, "...stopping criteria fulfilled")
+                break
+
+    finally:
+        writer.close()  # artifacts durably on disk even on error paths
     x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)
