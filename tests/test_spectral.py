@@ -169,3 +169,34 @@ def test_auto_solver_choice():
     assert choose_lmmse_solver(cfg, mt=20_000, n=10_000) == "cg"     # Mt < 4N
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=32_768) == "cg"  # N too big
     assert choose_lmmse_solver(cfg.replace(lmmse_solver="spectral"), 10, 10) == "spectral"
+
+
+def test_spectral_solve_extreme_shifts(problem, factor):
+    """Clamp-boundary shifts (reference gamma clamps 1e-11..1e11,
+    src/vamp.hpp:33-34) stay finite with errors bounded by the conditioning
+    — at cond(Q) ~ 1e12+ NO solver (dense LU, the reference's CG, or this
+    one) is pointwise accurate, so assert the achievable: finite outputs
+    and a residual consistent with eps * cond(S)."""
+    A, dm = problem
+    rng = np.random.default_rng(8)
+    m = A.shape[1]
+    v = rng.normal(size=dm.m_pad)
+    lam_max = np.linalg.eigvalsh(A @ A.T).max()
+    for tau, gam2 in [(1e4, 1e-8), (1e-6, 1e4), (1.0, 1e-11)]:
+        Q = tau * A.T @ A + gam2 * np.eye(m)
+        mu, _ = spectral_solve(dm, factor, jnp.asarray(v), tau, gam2)
+        mu = np.asarray(mu)
+        assert np.all(np.isfinite(mu))
+        resid = np.linalg.norm(Q @ mu[:m] - v[:m]) / np.linalg.norm(v[:m])
+        cond_s = (tau * lam_max + gam2) / gam2
+        assert resid < max(1e-10, 1e-12 * cond_s), (tau, gam2, resid)
+        # traces vs dense inverse — both sides carry O(eps * cond) error at
+        # the clamp boundary, so compare at a conditioning-aware tolerance
+        tr_q, tr_ata = spectral_traces(factor, float(m), tau, gam2)
+        Qinv = np.linalg.inv(Q)
+        tol = max(1e-6, 1e-14 * cond_s)
+        np.testing.assert_allclose(float(tr_q), np.trace(Qinv), rtol=tol)
+        # tr_ata = (N - gam2 T)/tau cancels two ~N-sized terms when tau is
+        # tiny; its tolerance carries the extra N/(tau tr) amplification
+        tol_ata = max(tol, 1e-15 * m * gam2 / (tau * abs(float(tr_ata)) + 1e-300))
+        np.testing.assert_allclose(float(tr_ata), np.trace(A.T @ A @ Qinv), rtol=tol_ata)
