@@ -35,7 +35,7 @@ from ..config import RunConfig
 from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
-from ..ops.operator import DesignMatrix, atx, ax
+from ..ops.operator import DesignMatrix, atx, ax, ax_batch
 from ..ops.spectral import (
     GramFactor, build_spectral, shift_cholesky, spectral_solve, spectral_traces,
 )
@@ -88,7 +88,7 @@ def _em_phase(dm: DesignMatrix, r1, gam1, prior: MixturePrior,
 @jax.jit
 def _iteration_phase(
     dm: DesignMatrix,
-    y_adj,            # covariate-adjusted phenotype (CG RHS; src/vamp.cpp:303)
+    aty_adj,          # A^T y_adj, cached across iterations (src/vamp.cpp:303)
     y_raw,            # original phenotype (gamw + metrics; src/vamp.cpp:506,817)
     r1,
     gam1,
@@ -110,7 +110,7 @@ def _iteration_phase(
     c = lambda s: jnp.asarray(s).astype(wd)  # noqa: E731 — scalar → work dtype
     r1 = r1.astype(wd)
     x1_hat_prev = x1_hat_prev.astype(wd)
-    y_adj = y_adj.astype(wd)
+    aty_adj = aty_adj.astype(wd)
     y_raw = y_raw.astype(wd)
     mu_warm = mu_warm.astype(wd)
     bern = bern.astype(wd)
@@ -137,7 +137,7 @@ def _iteration_phase(
     r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
 
     # ---------------- LMMSE (src/vamp.cpp:287-362) ----------------
-    v = c(gamw) * atx(dm, y_adj) + c(gam2) * r2
+    v = c(gamw) * aty_adj + c(gam2) * r2
     V = jnp.stack([v, bern], axis=1)
     MU0 = jnp.stack([mu_warm, jnp.zeros_like(mu_warm)], axis=1)
     res = cg_solve(
@@ -243,7 +243,6 @@ def _iteration_phase_spectral(
 
     alpha1 = (jnp.sum(g1d(r1, gam1, prior) * dm.mmask)).astype(jnp.float64) / dm.mt
     eta1 = gam1 / alpha1
-    z1 = ax(dm, x1_hat)
 
     gam2 = _clamp(eta1 - gam1)
     r2 = (c(eta1) * x1_hat - c(gam1) * r1) / c(gam2)
@@ -251,13 +250,18 @@ def _iteration_phase_spectral(
     dev2 = r2 - sqrt_n_c * ts
     gam2_true = dm.mt / jnp.dot(dev2, dev2).astype(jnp.float64)
 
+    # ---------------- LMMSE, exact (src/vamp.cpp:287-362) ----------------
+    # z1 = A x1_hat and A v share ONE pass over X (multi-RHS ax_batch), so a
+    # full spectral iteration reads X exactly twice: here and in atx(q).
+    v = c(gamw) * aty_adj + c(gam2) * r2
+    Z = ax_batch(dm, jnp.stack([x1_hat, v], axis=1))
+    z1 = Z[:, 0]
+    av = Z[:, 1]
+    L = shift_cholesky(fac, gamw, gam2)
+    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2, av=av, L=L)
+
     x1_corr, _ = signal_metrics(x1_hat, ts, dm.n)
     r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
-
-    # ---------------- LMMSE, exact (src/vamp.cpp:287-362) ----------------
-    v = c(gamw) * aty_adj + c(gam2) * r2
-    L = shift_cholesky(fac, gamw, gam2)
-    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2, L=L)
 
     tr_qinv, tr_ata_qinv = spectral_traces(fac, dm.mt, gamw, gam2, L=L)
     alpha2 = gam2 * tr_qinv / dm.mt          # exact E[u^T Q^{-1} u], u ~ ±1/sqrt(Mt)
@@ -421,11 +425,10 @@ def infere_linear(
     # LMMSE solver choice (run-level static): exact spectral path or CG
     solver = choose_lmmse_solver(cfg, Mt, N)
     fac = None
-    aty_adj = None
+    aty_adj = jax.jit(atx)(dm, y_adj)  # constant across iterations
     if solver == "spectral":
         t_fac = time.time()
         fac = build_spectral(dm)
-        aty_adj = jax.jit(atx)(dm, y_adj)
         jax.block_until_ready(fac.K)
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
@@ -505,7 +508,7 @@ def infere_linear(
                     * jnp.asarray(1.0 / np.sqrt(float(Mt)), dtype=wd)
                 ) * dm.mmask
                 out = _iteration_phase(
-                    dm, y_adj, y_raw, r1, gam1, prior, x1_prev,
+                    dm, aty_adj, y_raw, r1, gam1, prior, x1_prev,
                     jnp.asarray(it > 1), rho, gamw, mu_warm, bern, ts,
                     jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
                 )

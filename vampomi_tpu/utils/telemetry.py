@@ -36,11 +36,12 @@ def estimate_passes(cg_iters: int, model: str = "linear", solver: str = "cg") ->
     the solve: atx(y) [1], ax(x1) [1], ax(x2) + atx(ax(invq)) [3], metrics
     ax [1] (linear) or the probit driver's extra Ax calls [4].
 
-    Spectral solver: ax(x1) [1], ax(v) [1], atx(q) [1] — constant per
-    iteration (ops/spectral.py); z2 comes from the factor algebraically.
+    Spectral solver (linear): ax_batch([x1, v]) [1] + atx(q) [1] — two
+    passes per iteration, period (ops/spectral.py; z2 is algebraic).
+    Probit adds atx(p2) and the z1 metrics pass.
     """
     if solver == "spectral":
-        return 3 if model == "linear" else 5
+        return 2 if model == "linear" else 4
     around = 6 if model == "linear" else 8
     return 2 * (cg_iters + 1) + around
 
