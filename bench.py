@@ -126,7 +126,7 @@ def run(m, n, dtype):
 
     def ref_once(g1v, gwv, mu_warm):
         return _iteration_phase(
-            dm, y, y, r1, g1v, prior, x1_prev, damp, rho, gwv,
+            dm, aty, y, r1, g1v, prior, x1_prev, damp, rho, gwv,
             mu_warm, bern, ts, cg_max, cg_tol,
         )
 
