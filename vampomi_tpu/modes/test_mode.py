@@ -21,7 +21,7 @@ from ..config import RunConfig
 from ..dataset import Dataset
 from ..io.bin_io import read_bin_slab, read_vec_from_text, substitute_iteration
 from ..io.csv_writer import PositionalCSV
-from ..ops.operator import ax
+from ..ops.operator import ax, ax_batch
 
 
 def _read_estimate(est_file_it: str, mt: int) -> np.ndarray:
@@ -40,6 +40,36 @@ def _predict(ds: Dataset, x_est: np.ndarray, n_test: int) -> np.ndarray:
     return np.asarray(z)
 
 
+def _collect_predictions(ds: Dataset, cfg: RunConfig, chunk: int = 16):
+    """Yield (iteration, z) for every saved estimate in test_iter_range.
+
+    TPU-first: estimates are batched column-wise so `chunk` iterations share
+    each HBM pass over the test design matrix (multi-RHS ax_batch) instead of
+    the reference's one-full-pass-per-iteration loop (main_meth.cpp:163-202).
+    """
+    mt = int(ds.dm.mt)
+    m_pad = ds.dm.m_pad
+    scale = np.sqrt(float(cfg.N_test))
+
+    lo, hi = cfg.test_iter_range
+    pending = []
+    for it in range(lo, hi + 1):
+        est_file_it = substitute_iteration(cfg.estimate_file, it)
+        if not os.path.exists(est_file_it):
+            continue
+        pending.append((it, est_file_it))
+
+    for i in range(0, len(pending), chunk):
+        grp = pending[i : i + chunk]
+        cols = np.zeros((m_pad, len(grp)))
+        for k, (_, f) in enumerate(grp):
+            x_est = _read_estimate(f, mt)
+            cols[: len(x_est), k] = x_est * scale
+        Z = np.asarray(ax_batch(ds.dm, jax.numpy.asarray(cols)))
+        for k, (it, _) in enumerate(grp):
+            yield it, Z[:, k]
+
+
 def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     y = ds.phen.y
     n_test = cfg.N_test
@@ -51,14 +81,7 @@ def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     )
 
     rows = []
-    lo, hi = cfg.test_iter_range
-    for it in range(lo, hi + 1):
-        est_file_it = substitute_iteration(cfg.estimate_file, it)
-        if not os.path.exists(est_file_it):
-            continue
-        x_est = _read_estimate(est_file_it, mt)
-        z = _predict(ds, x_est, n_test)
-
+    for it, z in _collect_predictions(ds, cfg):
         l2 = float(np.sum((y - z) ** 2))
         # stdev with the (n-1) denominator (reference utilities.cpp:183-205)
         stdev = float(np.std(y, ddof=1))
@@ -83,13 +106,7 @@ def run_test_probit(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     out = PositionalCSV(path, [], create=False)
 
     rows = []
-    lo, hi = cfg.test_iter_range
-    for it in range(lo, hi + 1):
-        est_file_it = substitute_iteration(cfg.estimate_file, it)
-        if not os.path.exists(est_file_it):
-            continue
-        x_est = _read_estimate(est_file_it, mt)
-        z = _predict(ds, x_est, n_test)
+    for it, z in _collect_predictions(ds, cfg):
         yhat = (ndtr(z) >= 0.5).astype(np.float64)
         tp = int(np.sum((y == 1) & (yhat == 1)))
         tn = int(np.sum((y == 0) & (yhat == 0)))

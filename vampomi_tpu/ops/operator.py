@@ -110,6 +110,7 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     z = jnp.einsum(
         "m,mn->n", w.astype(dm.X.dtype), dm.X,
         preferred_element_type=_accum_dtype(dm),
+        precision=jax.lax.Precision.HIGHEST,
     )
     corr = jnp.dot(dm.mave, w)
     return (z.astype(dm.wd) - corr.astype(dm.wd)) * dm.inv_sqrt_n
@@ -128,6 +129,7 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
     xy = jnp.einsum(
         "mn,n->m", dm.X, yc.astype(dm.X.dtype),
         preferred_element_type=_accum_dtype(dm),
+        precision=jax.lax.Precision.HIGHEST,
     )
     v = dm.msig * (xy.astype(dm.wd) - dm.mave * jnp.sum(yc))
     return v * dm.inv_sqrt_n
@@ -140,6 +142,7 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
     z = jnp.einsum(
         "mk,mn->nk", w.astype(dm.X.dtype), dm.X,
         preferred_element_type=_accum_dtype(dm),
+        precision=jax.lax.Precision.HIGHEST,
     )
     corr = dm.mave @ w  # (K,)
     return (z.astype(dm.wd) - corr[None, :].astype(dm.wd)) * dm.inv_sqrt_n
@@ -151,6 +154,7 @@ def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
     xy = jnp.einsum(
         "mn,nk->mk", dm.X, yc.astype(dm.X.dtype),
         preferred_element_type=_accum_dtype(dm),
+        precision=jax.lax.Precision.HIGHEST,
     )
     v = dm.msig[:, None] * (xy.astype(dm.wd) - jnp.outer(dm.mave, jnp.sum(yc, axis=0)))
     return v * dm.inv_sqrt_n

@@ -101,6 +101,9 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
         Gb = jnp.einsum(
             "bn,bk->nk", w2b[:, None] * Xb_acc, Xb_acc,
             preferred_element_type=acc_dtype,
+            # full f32 MXU passes: TPU matmuls default to bf16 operand
+            # precision, which is NOT enough for a Gram reused exactly
+            precision=jax.lax.Precision.HIGHEST,
         )
         tb = ub @ Xb_acc
         return Gb, tb
