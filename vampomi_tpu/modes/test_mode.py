@@ -21,7 +21,7 @@ from ..config import RunConfig
 from ..dataset import Dataset
 from ..io.bin_io import read_bin_slab, read_vec_from_text, substitute_iteration
 from ..io.csv_writer import PositionalCSV
-from ..ops.operator import ax, ax_batch
+from ..ops.operator import ax_batch
 
 
 def _read_estimate(est_file_it: str, mt: int) -> np.ndarray:
@@ -30,14 +30,6 @@ def _read_estimate(est_file_it: str, mt: int) -> np.ndarray:
     if ext == "bin":
         return read_bin_slab(est_file_it, mt)
     return read_vec_from_text(est_file_it, mt)
-
-
-def _predict(ds: Dataset, x_est: np.ndarray, n_test: int) -> np.ndarray:
-    m_pad = ds.dm.m_pad
-    xp = np.zeros(m_pad)
-    xp[: len(x_est)] = x_est * np.sqrt(float(n_test))
-    z = ax(ds.dm, jax.numpy.asarray(xp))
-    return np.asarray(z)
 
 
 def _collect_predictions(ds: Dataset, cfg: RunConfig, chunk: int = 16):
