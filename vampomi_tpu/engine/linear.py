@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RunConfig
+from ..sharding import fetch_global
 from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
@@ -451,8 +452,8 @@ def infere_linear(
     writer = AsyncWriter()
 
     def _dump_iteration(k, x1_dev, r1_dev):
-        x1s = np.asarray(jax.device_get(x1_dev), dtype=np.float64)[:Mt] / sqrt_n
-        r1s = np.asarray(jax.device_get(r1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        x1s = fetch_global(x1_dev).astype(np.float64)[:Mt] / sqrt_n
+        r1s = fetch_global(r1_dev).astype(np.float64)[:Mt] / sqrt_n
         write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k), x1s)
         write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"), r1s)
 
@@ -463,10 +464,10 @@ def infere_linear(
             cfg.checkpoint_file,
             iteration=k,
             arrays=dict(
-                x1_hat=np.asarray(jax.device_get(x1_dev), dtype=np.float64),
-                r1=np.asarray(jax.device_get(r1_dev), dtype=np.float64),
-                mu_warm=np.asarray(jax.device_get(mu_dev), dtype=np.float64),
-                y_adj=np.asarray(jax.device_get(y_adj), dtype=np.float64),
+                x1_hat=fetch_global(x1_dev).astype(np.float64),
+                r1=fetch_global(r1_dev).astype(np.float64),
+                mu_warm=fetch_global(mu_dev).astype(np.float64),
+                y_adj=fetch_global(y_adj).astype(np.float64),
             ),
             scalars=dict(gam1=gam1_k, gamw=gamw_k),
             prior=prior_k,
@@ -583,7 +584,7 @@ def infere_linear(
 
     finally:
         writer.close()  # artifacts durably on disk even on error paths
-    x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
+    x1_scaled = fetch_global(x1_hat).astype(np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)
     return LinearResult(

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RunConfig
+from ..sharding import fetch_global
 from ..glm.probit import g1_bin_class, g1d_bin_class, newton_method_cov
 from ..io.bin_io import iteration_file, write_bin_slab
 from ..io.csv_writer import PositionalCSV
@@ -308,8 +309,8 @@ def infere_bin_class(
     writer = AsyncWriter()
 
     def _dump_iteration(k, x1_dev, r1_dev):
-        x1s = np.asarray(jax.device_get(x1_dev), dtype=np.float64)[:Mt] / sqrt_n
-        r1s = np.asarray(jax.device_get(r1_dev), dtype=np.float64)[:Mt] / sqrt_n
+        x1s = fetch_global(x1_dev).astype(np.float64)[:Mt] / sqrt_n
+        r1s = fetch_global(r1_dev).astype(np.float64)[:Mt] / sqrt_n
         write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k), x1s)
         write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"), r1s)
 
@@ -320,7 +321,7 @@ def infere_bin_class(
             cfg.checkpoint_file,
             iteration=k,
             arrays={
-                name: np.asarray(jax.device_get(a), dtype=np.float64)
+                name: fetch_global(a).astype(np.float64)
                 for name, a in arrays_dev.items()
             },
             scalars=scalars,
@@ -428,7 +429,7 @@ def infere_bin_class(
 
     finally:
         writer.close()  # artifacts durably on disk even on error paths
-    x1_scaled = np.asarray(jax.device_get(x1_hat), dtype=np.float64)[:Mt] / sqrt_n
+    x1_scaled = fetch_global(x1_hat).astype(np.float64)[:Mt] / sqrt_n
 
     act = np.asarray(prior.active)
     return ProbitResult(

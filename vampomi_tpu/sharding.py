@@ -93,3 +93,21 @@ def padded_marker_count(Mt: int, mesh: Mesh, tile: int = 1) -> int:
     requested tile size (XLA wants static, evenly divisible shards)."""
     n_dev = math.prod(mesh.devices.shape)
     return pad_to_multiple(Mt, n_dev * tile)
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Fetch a (possibly multi-host sharded) jax array to a full host copy.
+
+    Single-process arrays are fully addressable and fetch directly; across
+    processes the shards are all-gathered first (the artifact-file analog of
+    the reference's per-rank shared-file writes, src/utilities.cpp:241-249 —
+    a per-host slab-write optimization can replace this later without
+    changing the file bytes).
+    """
+    import jax
+
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
