@@ -118,23 +118,25 @@ def _probit_phase(
     p2_new = (z1_hat - c(beta1) * p1) / c(1.0 - beta1)
     tau2 = tau1 * (1.0 - beta1) / beta1
 
-    # metrics, denoising half (src/vamp_probit.cpp:269-287)
-    z1_pred = ax(dm, x1_hat * inv_sqrt_n)
-    y1_hat = (jax.scipy.stats.norm.cdf(z1_pred) >= 0.5).astype(wd)
-    tp1, tn1, fp1, fn1 = confusion_counts(y, y1_hat)
-    acc1 = ((tp1 + tn1) / dm.n).astype(jnp.float64)
-
     # ---------- LMMSE x (src/vamp_probit.cpp:291-346) ----------
     v = c(tau2) * atx(dm, p2_new) + c(gam2) * r2_new
     if solver == "spectral":
         # exact Woodbury solve + closed-form Onsager (ops/spectral.py); tau2
-        # varies per iteration but the Gram factor is shift-invariant
+        # varies per iteration but the Gram factor is shift-invariant.
+        # z1_pred (denoising metrics, src/vamp_probit.cpp:269-287) shares the
+        # A-pass with A v — three X passes per probit iteration total.
+        from ..ops.operator import ax_batch
+
+        Z = ax_batch(dm, jnp.stack([x1_hat * inv_sqrt_n, v], axis=1))
+        z1_pred = Z[:, 0]
+        av = Z[:, 1]
         L = shift_cholesky(fac, tau2, gam2)
-        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2, L=L)
+        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2, av=av, L=L)
         tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2, L=L)
         alpha2 = gam2 * tr_qinv / dm.mt
         cg_iters = jnp.asarray(0)
     else:
+        z1_pred = ax(dm, x1_hat * inv_sqrt_n)
         V = jnp.stack([v, bern], axis=1)
         MU0 = jnp.zeros_like(V)  # probit CG starts from zero every iteration
         res = cg_solve(
@@ -147,6 +149,11 @@ def _probit_phase(
         alpha2 = gam2 * jnp.dot(bern, invq_bern).astype(jnp.float64)
         z2_hat = ax(dm, x2_hat)
         cg_iters = res.iters
+
+    # metrics, denoising half (src/vamp_probit.cpp:269-287)
+    y1_hat = (jax.scipy.stats.norm.cdf(z1_pred) >= 0.5).astype(wd)
+    tp1, tn1, fp1, fn1 = confusion_counts(y, y1_hat)
+    acc1 = ((tp1 + tn1) / dm.n).astype(jnp.float64)
 
     x2_corr = corr(x2_hat, ts)
 

@@ -38,10 +38,10 @@ def estimate_passes(cg_iters: int, model: str = "linear", solver: str = "cg") ->
 
     Spectral solver (linear): ax_batch([x1, v]) [1] + atx(q) [1] — two
     passes per iteration, period (ops/spectral.py; z2 is algebraic).
-    Probit adds atx(p2) and the z1 metrics pass.
+    Probit: ax_batch([z1_pred, v]) [1] + atx(p2) [1] + atx(q) [1].
     """
     if solver == "spectral":
-        return 2 if model == "linear" else 4
+        return 2 if model == "linear" else 3
     around = 6 if model == "linear" else 8
     return 2 * (cg_iters + 1) + around
 
