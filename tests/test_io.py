@@ -120,3 +120,25 @@ def test_positional_csv_recreate_deletes(tmp_path):
     c2 = PositionalCSV(path, ["iteration", "v"])  # fresh run: file recreated
     raw = open(path, "rb").read()
     assert raw == b"iteration, v\n"
+
+
+def test_local_slab_and_marker_file(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from vampomi_tpu.io.bin_io import write_marker_file, read_bin_slab
+    from vampomi_tpu.sharding import local_slab, make_mesh, distribute, MARKER_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    x = np.arange(64, dtype=np.float64)
+    arr = distribute(x, mesh, P(MARKER_AXIS))
+    start, block = local_slab(arr)
+    assert start == 0
+    np.testing.assert_array_equal(block, x)
+
+    # full-path write (single process) matches scale+truncate semantics
+    path = str(tmp_path / "m.bin")
+    write_marker_file(path, jnp.asarray(x), mt=50, divisor=2.0)
+    got = read_bin_slab(path, 50)
+    np.testing.assert_allclose(got, x[:50] * 0.5)

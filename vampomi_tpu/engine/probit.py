@@ -35,7 +35,7 @@ import numpy as np
 from ..config import RunConfig
 from ..sharding import fetch_global
 from ..glm.probit import g1_bin_class, g1d_bin_class, newton_method_cov
-from ..io.bin_io import iteration_file, write_bin_slab
+from ..io.bin_io import iteration_file, write_bin_slab, write_marker_file
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
@@ -316,10 +316,14 @@ def infere_bin_class(
     writer = AsyncWriter()
 
     def _dump_iteration(k, x1_dev, r1_dev):
-        x1s = fetch_global(x1_dev).astype(np.float64)[:Mt] / sqrt_n
-        r1s = fetch_global(r1_dev).astype(np.float64)[:Mt] / sqrt_n
-        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k), x1s)
-        write_bin_slab(iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"), r1s)
+        # per-host slab writes of the shared artifact file (io/bin_io.py)
+        write_marker_file(
+            iteration_file(cfg.out_dir, cfg.out_name, k), x1_dev, Mt, sqrt_n
+        )
+        write_marker_file(
+            iteration_file(cfg.out_dir, cfg.out_name, k, kind="r1_"),
+            r1_dev, Mt, sqrt_n,
+        )
 
     def _save_ckpt(k, arrays_dev, scalars, prior_k, key_k):
         from .checkpoint import save_checkpoint

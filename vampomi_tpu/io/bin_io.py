@@ -113,3 +113,30 @@ def parse_iteration(file_name: str) -> str:
     pos1 = file_name.rfind("it_") + 3
     pos2 = file_name.rfind(".bin")
     return file_name[pos1:pos2]
+
+
+def write_marker_file(path: str, arr_dev, mt: int, divisor: float) -> None:
+    """Write a (possibly multi-host sharded) padded M-vector to the shared
+    f64 artifact file, divided by `divisor` (division, not reciprocal
+    multiplication, for bit parity with the reference's x/sqrt(N),
+    src/vamp.cpp:237-239), truncated to the Mt real markers.
+
+    Multi-host: each process pwrites only its own contiguous marker slab at
+    byte offset start*8 — the POSIX analog of the reference's per-rank
+    MPI_File_set_view writes (src/utilities.cpp:241-249); bytes on disk are
+    identical to a single-process write.
+    """
+    import jax
+
+    from ..sharding import local_slab
+
+    if getattr(arr_dev, "is_fully_addressable", True) and jax.process_count() == 1:
+        vec = np.asarray(jax.device_get(arr_dev), dtype=np.float64)[:mt] / divisor
+        write_bin_slab(path, vec)
+        return
+    start, block = local_slab(arr_dev)
+    hi = min(start + len(block), mt)
+    if start >= mt:
+        return
+    vec = np.asarray(block[: hi - start], dtype=np.float64) / divisor
+    write_bin_slab(path, vec, start=start)

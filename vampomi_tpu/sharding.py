@@ -111,3 +111,17 @@ def fetch_global(arr) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def local_slab(arr):
+    """(start, block) — this process's contiguous rows of a 1-D
+    marker-sharded global array (our layout gives each process one
+    contiguous block; see dataset.load_dataset).  Works single-process too
+    (start=0, full array)."""
+    shards = sorted(
+        arr.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    start = (shards[0].index[0].start or 0) if shards[0].index else 0
+    block = np.concatenate([np.asarray(s.data) for s in shards])
+    return start, block
