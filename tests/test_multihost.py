@@ -1,0 +1,100 @@
+"""True multi-process multi-host validation: two JAX processes (4 virtual
+CPU devices each) run the full linear engine over a shared 8-device marker
+mesh — distributed init, per-process slab reads of the shared .bin, sharded
+compute with psum, and per-host slab writes of the artifact files — and the
+result matches a single-process run to fp-reduction-order tolerance (the
+same rank-count-invariance contract the reference relies on, SURVEY §4.5)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port, work = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    jax.distributed.initialize(coordinator_address="localhost:" + port,
+                               num_processes=2, process_id=pid)
+    sys.path.insert(0, "__REPO__")
+    import numpy as np
+    import jax.numpy as jnp
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.dataset import load_dataset
+    from vampomi_tpu.engine.linear import infere_linear
+    from vampomi_tpu.sharding import make_mesh
+
+    mesh = make_mesh()
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+    ds = load_dataset(work + "/ex.bin", work + "/ex.phen", 120, 160,
+                      "linear", mesh, jnp.float64)
+    cfg = RunConfig(out_dir=work, out_name="mh", iterations=3, h2=0.8,
+                    probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2],
+                    stop_criteria_thr=0.0, seed=7, trace=0)
+    ts = np.fromfile(work + "/ex_ts.bin")
+    res = infere_linear(ds.dm, ds.phen.y, cfg, true_signal=ts,
+                        write_outputs=True)
+    print("GAMW", repr(res.gamw))
+""").replace("__REPO__", REPO)
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single(tmp_path):
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.dataset import load_dataset
+    from vampomi_tpu.engine.linear import infere_linear
+    from vampomi_tpu.sharding import make_mesh
+    from vampomi_tpu.sim.data_sim import main as sim_main
+    import jax.numpy as jnp
+
+    work = str(tmp_path)
+    sim_main(["--out-dir", work, "--out-name", "ex",
+              "-N", "120", "-M", "160", "--seed", "4"])
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i), port, work],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+    gamws = [float(o.split("GAMW")[1].split()[0]) for o in outs]
+    assert gamws[0] == gamws[1]
+
+    # single-process run over the 8-device mesh in THIS process
+    mesh = make_mesh()
+    ds = load_dataset(f"{work}/ex.bin", f"{work}/ex.phen", 120, 160,
+                      "linear", mesh, jnp.float64)
+    cfg = RunConfig(out_dir=work, out_name="sp", iterations=3, h2=0.8,
+                    probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2],
+                    stop_criteria_thr=0.0, seed=7, trace=0)
+    ts = np.fromfile(f"{work}/ex_ts.bin")
+    res = infere_linear(ds.dm, ds.phen.y, cfg, true_signal=ts,
+                        write_outputs=True)
+
+    assert abs(res.gamw - gamws[0]) / res.gamw < 1e-9
+    # artifact files written by the two processes' slab writes match the
+    # single-process files to fp reduction order
+    for f in ("it_3.bin", "r1_it_3.bin"):
+        a = np.fromfile(f"{work}/mh_{f}")
+        b = np.fromfile(f"{work}/sp_{f}")
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-13)
