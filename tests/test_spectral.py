@@ -200,3 +200,15 @@ def test_spectral_solve_extreme_shifts(problem, factor):
         # tiny; its tolerance carries the extra N/(tau tr) amplification
         tol_ata = max(tol, 1e-15 * m * gam2 / (tau * abs(float(tr_ata)) + 1e-300))
         np.testing.assert_allclose(float(tr_ata), np.trace(A.T @ A @ Qinv), rtol=tol_ata)
+
+
+def test_blocked_cholesky_matches_lapack():
+    from vampomi_tpu.ops.spectral import _blocked_cholesky
+
+    rng = np.random.default_rng(13)
+    for n, nb in [(100, 4), (257, 8), (512, 3)]:
+        Kh = rng.normal(size=(n, n))
+        S = Kh @ Kh.T / n + 5.0 * np.eye(n)
+        L = np.asarray(_blocked_cholesky(jnp.asarray(S), nb))
+        np.testing.assert_allclose(np.tril(L), np.linalg.cholesky(S),
+                                   rtol=1e-10, atol=1e-12)
