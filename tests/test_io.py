@@ -142,3 +142,16 @@ def test_local_slab_and_marker_file(tmp_path):
     write_marker_file(path, jnp.asarray(x), mt=50, divisor=2.0)
     got = read_bin_slab(path, 50)
     np.testing.assert_allclose(got, x[:50] * 0.5)
+
+
+def test_write_bin_slab_concurrent_no_truncation(tmp_path, monkeypatch):
+    """Disjoint slab writes to a fresh shared file must never truncate each
+    other, even on the pure-python fallback (multi-host artifact contract)."""
+    import vampomi_tpu.io.bin_io as bio
+
+    monkeypatch.setattr(bio, "_native", None)
+    path = str(tmp_path / "shared.bin")
+    bio.write_bin_slab(path, np.arange(4, dtype=np.float64), start=0)
+    bio.write_bin_slab(path, np.arange(4, 8, dtype=np.float64), start=4)
+    got = np.fromfile(path)
+    np.testing.assert_array_equal(got, np.arange(8, dtype=np.float64))

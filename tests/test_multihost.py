@@ -60,23 +60,30 @@ def test_two_process_run_matches_single(tmp_path):
     sim_main(["--out-dir", work, "--out-name", "ex",
               "-N", "120", "-M", "160", "--seed", "4"])
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = str(s.getsockname()[1])
-
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    procs = [
-        subprocess.Popen([sys.executable, str(script), str(i), port, work],
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True, env=env)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-2000:]
+
+    # the bound-then-released port can be stolen before the coordinator
+    # rebinds it — retry the whole launch on a fresh port if that happens
+    for attempt in range(3):
+        with socket.socket() as sock:
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            sock.bind(("localhost", 0))
+            port = str(sock.getsockname()[1])
+        procs = [
+            subprocess.Popen([sys.executable, str(script), str(i), port, work],
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True, env=env)
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 2 or not any("address" in o.lower() for o in outs):
+            for p, o in zip(procs, outs):
+                assert p.returncode == 0, o[-2000:]
     gamws = [float(o.split("GAMW")[1].split()[0]) for o in outs]
     assert gamws[0] == gamws[1]
 

@@ -212,3 +212,15 @@ def test_blocked_cholesky_matches_lapack():
         L = np.asarray(_blocked_cholesky(jnp.asarray(S), nb))
         np.testing.assert_allclose(np.tril(L), np.linalg.cholesky(S),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_traces_tiny_n_more_blocks_than_rows():
+    """trace_blocks > N must degrade gracefully (forced spectral on a tiny
+    problem bypasses the auto-solver guard)."""
+    from vampomi_tpu.ops.spectral import GramFactor
+
+    K = jnp.eye(4, dtype=jnp.float64) * 2.0
+    tr_q, tr_ata = spectral_traces(GramFactor(K=K), 10.0, 1.0, 1.0)
+    # S = I + 2I = 3I: tr S^-1 = 4/3; tr Q^-1 = 4/3 + (10-4)/1
+    np.testing.assert_allclose(float(tr_q), 4.0 / 3.0 + 6.0, rtol=1e-12)
+    np.testing.assert_allclose(float(tr_ata), (4.0 - 4.0 / 3.0) / 1.0, rtol=1e-12)

@@ -227,7 +227,8 @@ def _iteration_phase_spectral(
     solve is replaced by the Woodbury solve (ops/spectral.py) and the
     Hutchinson probe estimates of alpha2 (src/vamp.cpp:494-501) and the
     gamma_w trace correction (src/vamp.cpp:518-521) by their closed forms.
-    Three HBM passes over X per iteration — independent of CG_max_iter.
+    Exactly two HBM passes over X per iteration (the shared ax_batch and
+    atx(q)) — independent of CG_max_iter.
     """
     wd = dm.wd
     c = lambda s: jnp.asarray(s).astype(wd)  # noqa: E731
@@ -451,6 +452,12 @@ def infere_linear(
 
     writer = AsyncWriter()
 
+    def _materialize(a):
+        """Cross-process gathers are collectives and must run on the MAIN
+        thread (every process in lockstep) — never on the IO thread.  Fully
+        addressable arrays pass through; the worker fetches those lazily."""
+        return a if getattr(a, "is_fully_addressable", True) else fetch_global(a)
+
     def _dump_iteration(k, x1_dev, r1_dev):
         # per-host slab writes of the shared artifact file (io/bin_io.py)
         write_marker_file(
@@ -461,7 +468,8 @@ def infere_linear(
             r1_dev, Mt, sqrt_n,
         )
 
-    def _save_ckpt(k, x1_dev, r1_dev, mu_dev, gam1_k, gamw_k, prior_k, key_k):
+    def _save_ckpt(k, x1_dev, r1_dev, mu_dev, y_dev, gam1_k, gamw_k,
+                   prior_k, key_k):
         from .checkpoint import save_checkpoint
 
         save_checkpoint(
@@ -471,7 +479,7 @@ def infere_linear(
                 x1_hat=fetch_global(x1_dev).astype(np.float64),
                 r1=fetch_global(r1_dev).astype(np.float64),
                 mu_warm=fetch_global(mu_dev).astype(np.float64),
-                y_adj=fetch_global(y_adj).astype(np.float64),
+                y_adj=fetch_global(y_dev).astype(np.float64),
             ),
             scalars=dict(gam1=gam1_k, gamw=gamw_k),
             prior=prior_k,
@@ -573,7 +581,9 @@ def infere_linear(
 
             if cfg.checkpoint_file:
                 writer.submit(
-                    _save_ckpt, it, x1_hat, r1, mu_warm,
+                    _save_ckpt, it,
+                    _materialize(x1_hat), _materialize(r1), _materialize(mu_warm),
+                    _materialize(y_adj),
                     float(host["gam1"]), float(host["gamw"]), prior, key,
                 )
 

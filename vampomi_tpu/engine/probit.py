@@ -315,6 +315,12 @@ def infere_bin_class(
 
     writer = AsyncWriter()
 
+    def _materialize(a):
+        """Cross-process gathers are collectives and must run on the MAIN
+        thread (every process in lockstep) — never on the IO thread.  Fully
+        addressable arrays pass through; the worker fetches those lazily."""
+        return a if getattr(a, "is_fully_addressable", True) else fetch_global(a)
+
     def _dump_iteration(k, x1_dev, r1_dev):
         # per-host slab writes of the shared artifact file (io/bin_io.py)
         write_marker_file(
@@ -422,7 +428,9 @@ def infere_bin_class(
             if cfg.checkpoint_file:
                 writer.submit(
                     _save_ckpt, it,
-                    dict(x1_hat=x1_hat, r1=r1, r2=r2, p1=p1, p2=p2, m_cov=m_cov),
+                    {k: _materialize(a) for k, a in dict(
+                        x1_hat=x1_hat, r1=r1, r2=r2, p1=p1, p2=p2, m_cov=m_cov,
+                    ).items()},
                     dict(
                         gam1=float(host["gam1"]), tau1=float(host["tau1"]),
                         gam2=float(host["gam2"]), alpha1=float(host["alpha1"]),

@@ -42,10 +42,14 @@ def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
     if _native is not None:
         _native.write_from(path, memoryview(vec).cast("B"), start * 8)
         return
-    mode = "r+b" if os.path.exists(path) else "w+b"
-    with open(path, mode) as f:
-        f.seek(start * 8)
-        f.write(vec.tobytes())
+    # O_CREAT WITHOUT O_TRUNC + pwrite: concurrent hosts writing disjoint
+    # slabs of one shared file must never truncate each other (the native
+    # path already opens this way)
+    fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        os.pwrite(fd, vec.tobytes(), start * 8)
+    finally:
+        os.close(fd)
 
 
 def read_meth_bin(

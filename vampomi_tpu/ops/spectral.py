@@ -261,7 +261,7 @@ def spectral_traces(
     if L is None:
         L = shift_cholesky(fac, tau, gam2)
     n = fac.n
-    nb = trace_blocks
+    nb = max(1, min(trace_blocks, n))
     bounds = np.linspace(0, n, nb + 1).astype(int)
     T = jnp.asarray(0.0, dtype=jnp.float64)
     for j in range(nb):
@@ -278,6 +278,8 @@ def spectral_traces(
             else:
                 acc = jnp.zeros((ihi - ilo, jhi - jlo), dtype=L.dtype)
             for k in range(j, i):
+                if k not in Xs:  # empty block (n not divisible by nb)
+                    continue
                 klo, khi = int(bounds[k]), int(bounds[k + 1])
                 acc = acc - L[ilo:ihi, klo:khi] @ Xs[k]
             Xs[i] = jax.scipy.linalg.solve_triangular(
