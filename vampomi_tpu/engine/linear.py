@@ -375,7 +375,7 @@ def infere_linear(
     gam1 = jnp.asarray(float(cfg.gam1))
     gamw = jnp.asarray(1.0 / (1.0 - cfg.h2))  # src/main_meth.cpp:52
     rho = jnp.asarray(float(cfg.rho))
-    mu_warm = jnp.zeros(M_pad)
+    mu_warm = jnp.zeros(M_pad, dtype=wd)  # matches x2_hat's signature: no it-2 recompile
     key = jax.random.PRNGKey(cfg.seed)
     it_start = 1
 

@@ -32,7 +32,8 @@ def prediction_metrics(z_hat, y):
     """R2 = 1 - ||y - z||^2 / ||y||^2 and Corr(z, y)^2 (f64 scalars)."""
     yc = y.astype(z_hat.dtype)
     resid = yc - z_hat
-    r2 = 1.0 - (jnp.dot(resid, resid) / jnp.dot(yc, yc)).astype(jnp.float64)
+    y2 = jnp.dot(yc, yc)
+    r2 = 1.0 - (jnp.dot(resid, resid) / jnp.where(y2 == 0.0, 1.0, y2)).astype(jnp.float64)
     c = _corr(z_hat, yc).astype(jnp.float64)
     return r2, c * c
 

@@ -91,7 +91,9 @@ def _use_pallas(dm: DesignMatrix) -> bool:
     if dm.X.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     try:
-        return jax.default_backend() == "tpu"
+        # shard-local kernels only: on a multi-device mesh the sharded einsum
+        # + all-reduce path must run instead (pallas_call has no SPMD rule)
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
     except Exception:
         return False
 
@@ -172,23 +174,6 @@ def normal_eq_mult(dm: DesignMatrix, v: jax.Array, tau, gam2) -> jax.Array:
     if v.ndim == 1:
         return tau_c * atx(dm, ax(dm, vc)) + gam2_c * vc
     return tau_c * atx_batch(dm, ax_batch(dm, vc)) + gam2_c * vc
-
-
-def compute_marker_stats(
-    X: jax.Array, n_used: int, alpha_scale: float = 1.0
-) -> tuple[jax.Array, jax.Array]:
-    """Per-marker mean and inverse-sd (1/sd or 1/sd^alpha), on device.
-
-    Matches reference `data::compute_markers_statistics`
-    (src/data.cpp:233-283): sd uses the (nonas - 1) denominator; zero-variance
-    markers get msig = 1.
-    """
-    Xf = X
-    mave = jnp.sum(Xf, axis=1) / n_used
-    sumsqr = jnp.sum((Xf - mave[:, None]) ** 2, axis=1)
-    sd = jnp.sqrt(sumsqr / (n_used - 1.0))
-    inv = jnp.where(sumsqr != 0.0, 1.0 / jnp.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
-    return mave, inv
 
 
 def _host_stats(X_raw: np.ndarray, alpha_scale: float):
