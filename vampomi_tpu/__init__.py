@@ -38,6 +38,19 @@ import jax as _jax
 # f64; the hot M×N arrays opt into narrower dtypes explicitly.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: first compile of a full engine phase costs
+# 20-120 s on the TPU; cached recompiles measured ~2x faster end-to-end.
+# Opt out with VAMPOMI_NO_COMPILE_CACHE=1 or point VAMPOMI_COMPILE_CACHE at
+# a different directory.
+import os as _os
+
+if _os.environ.get("VAMPOMI_NO_COMPILE_CACHE") != "1":
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("VAMPOMI_COMPILE_CACHE", "/tmp/vampomi_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from . import sharding  # noqa: E402,F401
