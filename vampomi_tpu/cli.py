@@ -31,7 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--true-signal-file", default="")
     s.add_argument("--estimate-file", default="")
     s.add_argument("--r1-file", default="")
-    s.add_argument("--cov-estimate-file", default="")
+    s.add_argument("--cov-estimate-file", default="",
+                   help="accepted for flag parity; unused (the reference "
+                        "parses but never consumes it, SURVEY Q-notes)")
     s.add_argument("--cov-file", default="")
     s.add_argument("--cov-file-test", default="")
     s.add_argument("--out-dir", default="")
@@ -146,8 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     # of the reference's `mpirun -np R` (src/main_meth.cpp:12-18).  Launch one
     # process per host with VAMPOMI_DISTRIBUTED=1 (coordinator/rank discovery
     # comes from the TPU runtime or JAX_COORDINATOR_ADDRESS/PROCESS_ID).
-    if os.environ.get("VAMPOMI_DISTRIBUTED") == "1" and jax.process_count() == 1:
-        jax.distributed.initialize()
+    # NOTE: must run before anything touches the backend (jax.process_count
+    # itself would initialize a 1-process backend and poison the guard)
+    if os.environ.get("VAMPOMI_DISTRIBUTED") == "1":
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized (runtime auto-detection)
 
     from .dataset import load_dataset
     from .io.bin_io import read_bin_slab

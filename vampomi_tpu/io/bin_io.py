@@ -104,19 +104,30 @@ def iteration_file(out_dir: str, out_name: str, it: int, kind: str = "") -> str:
 def substitute_iteration(file_name: str, it: int) -> str:
     """Rewrite `..._it_<k>.<ext>` to iteration `it`, replicating the
     substring surgery in the reference test mode (src/main_meth.cpp:150-166):
-    everything from the last "it" through the first "." is replaced."""
-    pos_dot = file_name.find(".")
-    ext = file_name[pos_dot + 1 :]
-    pos_it = file_name.rfind("it")
-    return file_name[:pos_it] + f"it_{it}." + ext
+    everything from the last "it" through the first "." is replaced.  The
+    surgery is scoped to the BASENAME so dotted directory components
+    ("./out", "results.v2/") don't corrupt the path (the reference operates
+    on the raw argv string and has no such protection)."""
+    head, base = os.path.split(file_name)
+    pos_it = base.rfind("it")
+    if pos_it < 0:
+        raise ValueError(
+            f"estimate/r1 filename must contain an 'it_<k>' tag: {file_name!r}"
+        )
+    ext = base[base.find(".") + 1 :]
+    return os.path.join(head, base[:pos_it] + f"it_{it}." + ext)
 
 
 def parse_iteration(file_name: str) -> str:
     """Extract the iteration substring between the last 'it_' and '.bin'
     (reference src/main_meth.cpp:222-226, 247-251)."""
-    pos1 = file_name.rfind("it_") + 3
-    pos2 = file_name.rfind(".bin")
-    return file_name[pos1:pos2]
+    base = os.path.basename(file_name)
+    pos1 = base.rfind("it_")
+    if pos1 < 0:
+        raise ValueError(
+            f"filename must contain an 'it_<k>' tag: {file_name!r}"
+        )
+    return base[pos1 + 3 : base.rfind(".bin")]
 
 
 def write_marker_file(path: str, arr_dev, mt: int, divisor: float) -> None:

@@ -27,15 +27,20 @@ class Phenotype(NamedTuple):
 def read_phen(path: str, n: int, standardize: bool = True) -> Phenotype:
     vals = []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             toks = re.split(r"\s+", line.strip())
             if not toks or toks == [""]:
                 continue
+            if len(toks) < 3:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'FID IID value', got {line.strip()!r}"
+                )
             if toks[2] == "NA":
                 raise ValueError("NAN in data!")  # reference throws (data.cpp:73-75)
             vals.append(float(toks[2]))
     y = np.asarray(vals, dtype=np.float64)
-    assert y.size == n, f"phenotype rows {y.size} != N {n}"
+    if y.size != n:
+        raise ValueError(f"{path}: phenotype rows {y.size} != N {n}")
     avg = float(y.sum() / y.size)
     if not standardize:
         return Phenotype(y=y, intercept=avg, scale=1.0)

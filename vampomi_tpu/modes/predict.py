@@ -20,6 +20,11 @@ def run_predict(ds: Dataset, cfg: RunConfig) -> np.ndarray:
 
     est_file = cfg.estimate_file
     pos_it = est_file.rfind("it")
+    if pos_it < 0:
+        raise SystemExit(
+            f"FATAL  : --estimate-file must contain an 'it_<k>' tag "
+            f"(reference src/main_meth_probit.cpp:204-209): {est_file!r}"
+        )
     pred_file = est_file[:pos_it] + ".yhat"
 
     x_est = read_bin_slab(est_file, mt) * np.sqrt(float(n_test))

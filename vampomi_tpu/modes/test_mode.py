@@ -25,8 +25,10 @@ from ..ops.operator import ax_batch
 
 
 def _read_estimate(est_file_it: str, mt: int) -> np.ndarray:
-    # extension = everything after the FIRST dot (reference main_meth.cpp:151-152)
-    ext = est_file_it[est_file_it.find(".") + 1 :]
+    # extension = everything after the basename's FIRST dot (reference
+    # main_meth.cpp:151-152, scoped to the filename so dotted dirs work)
+    base = os.path.basename(est_file_it)
+    ext = base[base.find(".") + 1 :]
     if ext == "bin":
         return read_bin_slab(est_file_it, mt)
     return read_vec_from_text(est_file_it, mt)
@@ -64,8 +66,9 @@ def _collect_predictions(ds: Dataset, cfg: RunConfig, chunk: int = 16):
 
 def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     y = ds.phen.y
-    n_test = cfg.N_test
-    mt = int(ds.dm.mt)
+    # stdev with the (n-1) denominator (reference utilities.cpp:183-205);
+    # constant across iterations
+    stdev = float(np.std(y, ddof=1))
 
     out = PositionalCSV(
         os.path.join(cfg.out_dir, cfg.out_name + "_test.csv"),
@@ -75,8 +78,6 @@ def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     rows = []
     for it, z in _collect_predictions(ds, cfg):
         l2 = float(np.sum((y - z) ** 2))
-        # stdev with the (n-1) denominator (reference utilities.cpp:183-205)
-        stdev = float(np.std(y, ddof=1))
         r2 = 1.0 - l2 / (stdev * stdev * len(y))
         corr = float(np.dot(z, y) / np.sqrt(np.dot(z, z) * np.dot(y, y)))
         row = [r2, corr * corr]
@@ -87,8 +88,6 @@ def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
 
 def run_test_probit(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     y = ds.phen.y
-    n_test = cfg.N_test
-    mt = int(ds.dm.mt)
 
     # probit test csv: rows only, no header (src/main_meth_probit.cpp:106-199)
     path = os.path.join(cfg.out_dir, cfg.out_name + "_test.csv")

@@ -63,9 +63,15 @@ def main(argv=None):
     mincl = np.array(mincl[start:end])
     probs = np.array(probs[start:end])
 
-    with open(a.grm) as f:
-        vars_ = [float(m) for m in f.readline().split(" ")]
-    vars_str = ",".join("%0.12f" % v for v in vars_)
+    if a.grm:
+        with open(a.grm) as f:
+            vars_ = [float(m) for m in f.readline().split(" ")]
+        vars_str = ",".join("%0.12f" % v for v in vars_)
+    else:
+        # no group-mixtures file: fall back to the decade variance ladder
+        # (the reference declares -grm optional but crashes without it and
+        # leaves its get_vars fallback dead; wire the evident intent)
+        _, vars_str = get_vars(L)
 
     prob_means = probs.mean(axis=0)
     lam = 1.0 - prob_means[0]

@@ -47,6 +47,9 @@ def main(argv=None):
 
     fig, ax = plt.subplots(3, figsize=(12, 10), dpi=300)
     color = plt.rcParams["axes.prop_cycle"].by_key()["color"][0]
+    # early-converged runs have fewer rows than --iterations; clip to what
+    # the files actually contain so the report never crashes
+    it = min(it, len(r2_denoising), len(r2_test), len(gam1), len(gamw))
     x = np.arange(1, it + 1)
     fig.suptitle(base)
 

@@ -21,10 +21,12 @@ def roc_metrics(pvals: np.ndarray, beta: np.ndarray, th: float = 0.05):
 
     pval_th = th / m
     est = (pvals < pval_th).astype(float)
-    tn, fp, fn, tp = confusion_matrix(true, est).ravel()
+    # labels pinned so single-class inputs (null simulations, no discoveries)
+    # still yield a 2x2 matrix instead of an unpack crash
+    tn, fp, fn, tp = confusion_matrix(true, est, labels=[0.0, 1.0]).ravel()
     fdr = fp / (fp + tp + EPS)
     tpr = tp / (tp + fn + EPS)
-    n_causal = int((pvals <= pval_th).sum())
+    n_causal = int(est.sum())  # same `<` threshold as the confusion matrix
     return dict(auc=area, fdr=fdr, tpr=tpr, n_causal=n_causal, fprs=fprs, tprs=tprs)
 
 
