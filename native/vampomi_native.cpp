@@ -100,7 +100,7 @@ bool parallel_read(const char* path, char* dst, size_t len, off_t offset,
     }
     std::vector<std::thread> threads;
     std::vector<std::string> errs(nthreads);
-    std::vector<bool> oks(nthreads, true);
+    std::vector<char> oks(nthreads, 1);  // NOT vector<bool>: bit-packed RMW races across threads
     size_t per = (len + nthreads - 1) / nthreads;
     for (size_t t = 0; t < nthreads; t++) {
         size_t lo = t * per;
@@ -108,8 +108,8 @@ bool parallel_read(const char* path, char* dst, size_t len, off_t offset,
         if (lo >= hi) break;
         threads.emplace_back([&, t, lo, hi]() {
             int fd = open_read(path, &errs[t]);
-            if (fd < 0) { oks[t] = false; return; }
-            oks[t] = pread_all(fd, dst + lo, hi - lo, offset + (off_t)lo, &errs[t]);
+            if (fd < 0) { oks[t] = 0; return; }
+            oks[t] = pread_all(fd, dst + lo, hi - lo, offset + (off_t)lo, &errs[t]) ? 1 : 0;
             ::close(fd);
         });
     }
@@ -130,18 +130,18 @@ bool parallel_read_f64_as_f32(const char* path, float* dst, size_t n_doubles,
 
     std::vector<std::thread> threads;
     std::vector<std::string> errs(std::max<size_t>(nthreads, 1));
-    std::vector<bool> oks(std::max<size_t>(nthreads, 1), true);
+    std::vector<char> oks(std::max<size_t>(nthreads, 1), 1);  // NOT vector<bool>: bit-packed RMW races
 
     auto work = [&](size_t t, size_t lo, size_t hi) {
         int fd = open_read(path, &errs[t]);
-        if (fd < 0) { oks[t] = false; return; }
+        if (fd < 0) { oks[t] = 0; return; }
         std::vector<double> buf(std::min(kChunkBytes / 8, hi - lo));
         size_t pos = lo;
         while (pos < hi) {
             size_t cnt = std::min(buf.size(), hi - pos);
             if (!pread_all(fd, (char*)buf.data(), cnt * 8,
                            offset + (off_t)(pos * 8), &errs[t])) {
-                oks[t] = false;
+                oks[t] = 0;
                 ::close(fd);
                 return;
             }
@@ -251,8 +251,11 @@ static PyObject* py_write_from(PyObject*, PyObject* args) {
 static bool format_row(long iteration, PyObject* values, std::string* out,
                        std::string* err) {
     char buf[64];
+    // snprintf returns the WOULD-BE length; clamp so a pathological value
+    // (>63 rendered chars) cannot over-read the stack buffer
     int cx = snprintf(buf, sizeof(buf), "%5ld", iteration);
     if (cx < 0) { *err = "snprintf failed"; return false; }
+    cx = std::min(cx, (int)sizeof(buf) - 1);
     out->assign(buf, (size_t)cx);
     Py_ssize_t n = PySequence_Size(values);
     if (n < 0) { *err = "values must be a sequence"; return false; }
@@ -264,6 +267,7 @@ static bool format_row(long iteration, PyObject* values, std::string* out,
         if (v == -1.0 && PyErr_Occurred()) { *err = "non-float value"; return false; }
         cx = snprintf(buf, sizeof(buf), ", %20.15f", v);
         if (cx < 0) { *err = "snprintf failed"; return false; }
+        cx = std::min(cx, (int)sizeof(buf) - 1);
         out->append(buf, (size_t)cx);
     }
     out->push_back('\n');

@@ -29,6 +29,10 @@ class PositionalCSV:
     def write_row(self, iteration: int, values: list[float]) -> None:
         values = [float(v) for v in values]
         if _native is not None:
+            if not os.path.exists(self.path):
+                # match the pure-python r+b semantics: a positional write
+                # to a missing file is a misconfiguration, not a creation
+                raise FileNotFoundError(self.path)
             _native.write_csv_row(self.path, iteration, values)
             return
         row = "%5d" % iteration
