@@ -199,7 +199,6 @@ class NumpyVampOracle:
                 x1_hat = self.rho * x1_hat + (1 - self.rho) * x1_prev
             alpha1 = self.g1d(r1).sum() / M
             eta1 = self.gam1 / alpha1
-            z1 = self.Ax(x1_hat)
             gam2 = np.clip(eta1 - self.gam1, self.gamma_min, self.gamma_max)
             r2 = (eta1 * x1_hat - self.gam1 * r1) / gam2
 

@@ -116,3 +116,55 @@ def test_math_utils():
 
     v = np.array([1.0, 2.0, 3.0, 4.0])
     np.testing.assert_allclose(calc_stdev(v), np.std(v, ddof=1))
+
+
+def test_resume_preserves_earlier_csv_rows(small_fixture, tmp_path):
+    """Resuming into the same out_dir must append to the positional CSVs,
+    not delete and recreate them (rows written before the crash survive)."""
+    import jax.numpy as jnp
+
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import infere_linear
+    from vampomi_tpu.io.csv_writer import read_positional_csv
+    from vampomi_tpu.ops.operator import build_design
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    common = dict(
+        out_dir=str(tmp_path), out_name="rs", rho=0.5, h2=0.8, gam1=1e-6,
+        probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2],
+        stop_criteria_thr=1e-12, seed=7, trace=0,
+    )
+    ck = str(tmp_path / "state.npz")
+    infere_linear(dm, fx.y, RunConfig(iterations=3, checkpoint_file=ck, **common),
+                  true_signal=fx.beta)
+    rows_before = read_positional_csv(str(tmp_path / "rs_params.csv"))
+    assert len(rows_before) == 3
+
+    infere_linear(dm, fx.y, RunConfig(iterations=5, resume_file=ck, **common),
+                  true_signal=fx.beta)
+    rows_after = read_positional_csv(str(tmp_path / "rs_params.csv"))
+    assert len(rows_after) == 5, "pre-crash rows must survive the resume"
+    assert rows_after[0] == rows_before[0]
+
+
+def test_resume_rejects_mismatched_dataset(small_fixture, tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import infere_linear
+    from vampomi_tpu.ops.operator import build_design
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    ck = str(tmp_path / "s.npz")
+    cfg = RunConfig(out_dir=str(tmp_path), out_name="mm", iterations=1,
+                    probs=[0.9, 0.1], vars=[0.0, 1e-3], gam1=1e-6, h2=0.8,
+                    stop_criteria_thr=0.0, trace=0, checkpoint_file=ck)
+    infere_linear(dm, fx.y, cfg, write_outputs=False)
+
+    dm_small = build_design(fx.X.T[:100], mesh=None, compute_dtype=jnp.float64)
+    with pytest.raises(ValueError, match="does not match"):
+        infere_linear(dm_small, fx.y, cfg.replace(resume_file=ck, checkpoint_file=""),
+                      write_outputs=False)

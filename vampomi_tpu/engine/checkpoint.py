@@ -23,7 +23,12 @@ FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str, *, iteration: int, arrays: dict, scalars: dict,
-                    prior: MixturePrior, key) -> None:
+                    prior: MixturePrior, key, meta: dict | None = None) -> None:
+    """Write the checkpoint atomically.  Multi-host: only process 0 writes
+    (every process holds identical replicated state; concurrent writers on a
+    shared filesystem would tear the file)."""
+    if jax.process_index() != 0:
+        return
     payload = {
         "__version__": np.asarray(FORMAT_VERSION),
         "__iteration__": np.asarray(iteration),
@@ -36,9 +41,13 @@ def save_checkpoint(path: str, *, iteration: int, arrays: dict, scalars: dict,
         payload["arr_" + k] = np.asarray(v)
     for k, v in scalars.items():
         payload["scl_" + k] = np.asarray(float(v))
-    tmp = path + ".tmp"
+    for k, v in (meta or {}).items():
+        payload["meta_" + k] = np.asarray(v)
+    tmp = f"{path}.{os.getpid()}.tmp"  # unique per writer process
     with open(tmp, "wb") as f:  # explicit handle: savez must not append .npz
         np.savez(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())  # data durable BEFORE the rename is journaled
     os.replace(tmp, path)
 
 
@@ -55,13 +64,30 @@ def load_checkpoint(path: str) -> dict:
             "rng_key": z["rng_key"],
             "arrays": {},
             "scalars": {},
+            "meta": {},
         }
         for k in z.files:
             if k.startswith("arr_"):
                 out["arrays"][k[4:]] = z[k]
             elif k.startswith("scl_"):
                 out["scalars"][k[4:]] = float(z[k])
+            elif k.startswith("meta_"):
+                out["meta"][k[5:]] = z[k]
     return out
+
+
+def check_meta(ck: dict, **expected) -> None:
+    """Fail fast on a mismatched resume (different dataset shape or model)
+    instead of an opaque jit shape error or a silently wrong trajectory."""
+    for k, v in expected.items():
+        got = ck.get("meta", {}).get(k)
+        if got is None:
+            continue  # older checkpoint without metadata: best effort
+        got = got.item() if hasattr(got, "item") else got
+        if str(got) != str(v):
+            raise ValueError(
+                f"checkpoint {k}={got!r} does not match this run's {k}={v!r}"
+            )
 
 
 def restore_key(key_data: np.ndarray):

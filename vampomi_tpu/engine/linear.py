@@ -392,9 +392,10 @@ def infere_linear(
 
     # exact-state resume (TPU-native extension, SURVEY §5.4)
     if cfg.resume_file:
-        from .checkpoint import load_checkpoint, restore_key
+        from .checkpoint import check_meta, load_checkpoint, restore_key
 
         ck = load_checkpoint(cfg.resume_file)
+        check_meta(ck, model="linear", mt=Mt, n=N, m_pad=M_pad)
         a = ck["arrays"]
         x1_hat = jnp.asarray(a["x1_hat"], dtype=wd)
         r1 = jnp.asarray(a["r1"], dtype=wd)
@@ -419,10 +420,19 @@ def infere_linear(
             + [f"prob{i}" for i in range(len(cfg.probs))]
             + [f"var{i}" for i in range(len(cfg.vars))]
         )
+        import os as _os
+
         base = f"{cfg.out_dir}/{cfg.out_name}"
-        out_metrics = PositionalCSV(base + "_metrics.csv", METRICS_HEADER)
-        out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
-        out_prior = PositionalCSV(base + "_prior.csv", prior_header)
+
+        def _csv(path, header):
+            # resuming into the same out_dir must APPEND to the positional
+            # rows written before the crash, not delete and recreate them
+            fresh = (not cfg.resume_file) or not _os.path.exists(path)
+            return PositionalCSV(path, header, create=fresh)
+
+        out_metrics = _csv(base + "_metrics.csv", METRICS_HEADER)
+        out_params = _csv(base + "_params.csv", PARAMS_HEADER)
+        out_prior = _csv(base + "_prior.csv", prior_header)
 
     # LMMSE solver choice (run-level static): exact spectral path or CG
     solver = choose_lmmse_solver(cfg, Mt, N)
@@ -468,8 +478,11 @@ def infere_linear(
             r1_dev, Mt, sqrt_n,
         )
 
-    def _save_ckpt(k, x1_dev, r1_dev, mu_dev, y_dev, gam1_k, gamw_k,
-                   prior_k, key_k):
+    y_adj_host = (
+        fetch_global(y_adj).astype(np.float64) if cfg.checkpoint_file else None
+    )  # constant across iterations: fetch/gather once, not per checkpoint
+
+    def _save_ckpt(k, x1_dev, r1_dev, mu_dev, gam1_k, gamw_k, prior_k, key_k):
         from .checkpoint import save_checkpoint
 
         save_checkpoint(
@@ -479,11 +492,12 @@ def infere_linear(
                 x1_hat=fetch_global(x1_dev).astype(np.float64),
                 r1=fetch_global(r1_dev).astype(np.float64),
                 mu_warm=fetch_global(mu_dev).astype(np.float64),
-                y_adj=fetch_global(y_dev).astype(np.float64),
+                y_adj=y_adj_host,
             ),
             scalars=dict(gam1=gam1_k, gamw=gamw_k),
             prior=prior_k,
             key=key_k,
+            meta=dict(model="linear", mt=Mt, n=N, m_pad=M_pad),
         )
 
     metrics_history = []
@@ -583,7 +597,6 @@ def infere_linear(
                 writer.submit(
                     _save_ckpt, it,
                     _materialize(x1_hat), _materialize(r1), _materialize(mu_warm),
-                    _materialize(y_adj),
                     float(host["gam1"]), float(host["gamw"]), prior, key,
                 )
 

@@ -255,9 +255,10 @@ def infere_bin_class(
 
     it_start = 1
     if cfg.resume_file:
-        from .checkpoint import load_checkpoint, restore_key
+        from .checkpoint import check_meta, load_checkpoint, restore_key
 
         ck = load_checkpoint(cfg.resume_file)
+        check_meta(ck, model="bin_class", mt=Mt, n=N, m_pad=M_pad)
         a = ck["arrays"]
         x1_hat = jnp.asarray(a["x1_hat"], dtype=wd)
         r1 = jnp.asarray(a["r1"], dtype=wd)
@@ -287,10 +288,18 @@ def infere_bin_class(
             + [f"prob{i}" for i in range(len(cfg.probs))]
             + [f"var{i}" for i in range(len(cfg.vars))]
         )
+        import os as _os
+
         base = f"{cfg.out_dir}/{cfg.out_name}"
-        out_metrics = PositionalCSV(base + "_metrics.csv", METRICS_HEADER)
-        out_params = PositionalCSV(base + "_params.csv", PARAMS_HEADER)
-        out_prior = PositionalCSV(base + "_prior.csv", prior_header)
+
+        def _csv(path, header):
+            # resuming must APPEND to pre-crash positional rows, not recreate
+            fresh = (not cfg.resume_file) or not _os.path.exists(path)
+            return PositionalCSV(path, header, create=fresh)
+
+        out_metrics = _csv(base + "_metrics.csv", METRICS_HEADER)
+        out_params = _csv(base + "_params.csv", PARAMS_HEADER)
+        out_prior = _csv(base + "_prior.csv", prior_header)
 
     solver = choose_lmmse_solver(cfg, Mt, N)
     fac = None
@@ -344,6 +353,7 @@ def infere_bin_class(
             scalars=scalars,
             prior=prior_k,
             key=key_k,
+            meta=dict(model="bin_class", mt=Mt, n=N, m_pad=M_pad),
         )
 
     metrics_history = []

@@ -18,16 +18,23 @@ from concurrent.futures import Future, ThreadPoolExecutor
 
 
 class AsyncWriter:
-    def __init__(self):
+    def __init__(self, max_pending: int = 4):
         self._ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="artifact-io")
         self._pending: list[Future] = []
+        self._max_pending = max_pending
 
     def submit(self, fn, *args, **kwargs) -> None:
-        # surface any failure from already-finished work before queueing more
-        done = [f for f in self._pending if f.done()]
-        self._pending = [f for f in self._pending if not f.done()]
+        # single snapshot: a future completing between two done() sweeps must
+        # not be dropped unchecked (its exception would be swallowed)
+        snapshot = self._pending
+        done = [f for f in snapshot if f.done()]
+        self._pending = [f for f in snapshot if f not in done]
         for f in done:
-            f.result()
+            f.result()  # surface failures from finished work
+        # backpressure: the queue holds references to per-iteration device
+        # buffers — an unbounded backlog would pin HBM until close()
+        while len(self._pending) >= self._max_pending:
+            self._pending.pop(0).result()
         self._pending.append(self._ex.submit(fn, *args, **kwargs))
 
     def flush(self) -> None:
@@ -37,5 +44,10 @@ class AsyncWriter:
             f.result()
 
     def close(self) -> None:
-        self.flush()
-        self._ex.shutdown(wait=True)
+        try:
+            self.flush()
+        finally:
+            # always reap the worker thread, even when flush re-raises (the
+            # drivers call close() in finally blocks — a leaked thread or a
+            # masked primary exception would be worse than the IO error)
+            self._ex.shutdown(wait=True)
