@@ -73,8 +73,10 @@ def make_problem(m, n, dtype):
 
 
 def sync(x):
-    # a host fetch of one element is the reliable fence on the relay platform
-    return float(jax.device_get(jnp.ravel(x)[0]))
+    # a host fetch of ONE element is the reliable fence on the relay platform
+    # (block_until_ready is unreliable there; ravel would materialize a full
+    # copy inside the timed window)
+    return float(jax.device_get(x[(0,) * x.ndim]))
 
 
 def time_calls(fn, k=5):

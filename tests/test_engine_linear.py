@@ -166,3 +166,22 @@ def test_linear_covariate_path(small_fixture, tmp_path):
     assert np.all(np.isfinite(res.x1_hat_scaled))
     corr = np.corrcoef(res.x1_hat_scaled, fx.beta)[0, 1]
     assert corr > 0.7, corr
+
+
+def test_verbosity_compiles_in_residual_prints(small_fixture, tmp_path, capfd):
+    """--verbosity 1 emits the reference's per-CG and per-EM residual
+    narration (src/vamp.cpp:615-617, 723-724, 747-748); default stays quiet."""
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    cfg = base_cfg(tmp_path, iterations=2, verbosity=1)
+    infere_linear(dm, fx.y, cfg, true_signal=fx.beta, write_outputs=False)
+    jax.effects_barrier()  # flush jax.debug.print callbacks
+    out = capfd.readouterr().out
+    assert "[CG] it = " in out and "||r_it|| / ||RHS||" in out
+    assert "dist_probs = " in out and "dist_vars = " in out
+
+    cfg0 = base_cfg(tmp_path, iterations=2, verbosity=0)
+    infere_linear(dm, fx.y, cfg0, true_signal=fx.beta, write_outputs=False)
+    jax.effects_barrier()
+    out0 = capfd.readouterr().out
+    assert "[CG] it = " not in out0 and "dist_probs" not in out0

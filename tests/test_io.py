@@ -155,3 +155,51 @@ def test_write_bin_slab_concurrent_no_truncation(tmp_path, monkeypatch):
     bio.write_bin_slab(path, np.arange(4, 8, dtype=np.float64), start=4)
     got = np.fromfile(path)
     np.testing.assert_array_equal(got, np.arange(8, dtype=np.float64))
+
+
+def test_truncated_bin_slab_fatal(tmp_path, monkeypatch):
+    """A truncated/wrong vector file must raise loudly on BOTH the native and
+    pure-python read paths (reference asserts byte counts,
+    src/utilities.cpp:373-381) — a silently short estimate/r1/true-signal
+    vector is silently wrong science."""
+    import vampomi_tpu.io.bin_io as bio
+
+    path = str(tmp_path / "short.bin")
+    np.arange(5, dtype=np.float64).tofile(path)
+
+    if bio._native is not None:
+        with pytest.raises(Exception, match="EOF|expected"):
+            bio.read_bin_slab(path, 10)
+        with pytest.raises(Exception, match="EOF|expected"):
+            bio.read_bin_slab(path, 3, start=4)
+
+    monkeypatch.setattr(bio, "_native", None)
+    with pytest.raises(ValueError, match="expected 10"):
+        bio.read_bin_slab(path, 10)
+    with pytest.raises(ValueError, match="expected 3"):
+        bio.read_bin_slab(path, 3, start=4)
+    # exact-length read still fine
+    np.testing.assert_array_equal(bio.read_bin_slab(path, 5), np.arange(5.0))
+
+
+def test_truncated_meth_bin_fatal(tmp_path):
+    """meth file smaller than Mt*N*8 -> clear error at load (both paths share
+    the up-front size check)."""
+    path = str(tmp_path / "meth.bin")
+    np.arange(3 * 4, dtype=np.float64).tofile(path)  # 3 markers x N=4
+    with pytest.raises(ValueError, match="too small"):
+        read_meth_bin(path, n=4, m=4)
+    with pytest.raises(ValueError, match="too small"):
+        read_meth_bin(path, n=4, m=2, start_marker=2)
+    out = read_meth_bin(path, n=4, m=3)
+    assert out.shape == (3, 4)
+
+
+def test_truncated_text_vec_fatal(tmp_path):
+    path = str(tmp_path / "vec.txt")
+    with open(path, "w") as f:
+        f.write("1.0 2.0 3.0\n")
+    with pytest.raises(ValueError, match="expected 5"):
+        read_vec_from_text(path, 5)
+    with pytest.raises(ValueError, match="expected 2"):
+        read_vec_from_text(path, 2, start=2)

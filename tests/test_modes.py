@@ -155,3 +155,24 @@ def test_run_test_probit_confusion(small_fixture, tmp_path):
     # headerless CSV (reference quirk)
     raw = open(tmp_path / "b_test.csv", "rb").read()
     assert not raw.lstrip(b"\x00").startswith(b"iteration")
+
+
+def test_run_test_linear_zero_estimate_no_nan(small_fixture, tmp_path):
+    """All-zero estimate (cold-start iteration 1) -> corr row is 0, not NaN.
+    Deliberate divergence from the reference, which divides by ||z|| = 0
+    (src/main_meth.cpp:181-192)."""
+    import warnings
+
+    fx = small_fixture
+    n, m = fx.X.shape
+    ds = make_ds(fx)
+    np.zeros(m, dtype="<f8").tofile(tmp_path / "z_it_1.bin")
+    cfg = RunConfig(
+        out_dir=str(tmp_path), out_name="zz", N_test=n, Mt=m,
+        estimate_file=str(tmp_path / "z_it_1.bin"), test_iter_range=[1, 1],
+        meth_file="x",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        rows = run_test_linear(ds, cfg)
+    assert rows[0][1] == 0.0 and np.isfinite(rows[0][0])

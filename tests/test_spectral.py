@@ -224,3 +224,42 @@ def test_traces_tiny_n_more_blocks_than_rows():
     # S = I + 2I = 3I: tr S^-1 = 4/3; tr Q^-1 = 4/3 + (10-4)/1
     np.testing.assert_allclose(float(tr_q), 4.0 / 3.0 + 6.0, rtol=1e-12)
     np.testing.assert_allclose(float(tr_ata), (4.0 - 4.0 / 3.0) / 1.0, rtol=1e-12)
+
+
+def test_shift_inverse_fused(problem, factor):
+    """The fused factor+inverse+trace pass (shift_inverse) agrees with the
+    direct dense forms for several shifts and block counts, including nb
+    values that do not divide N."""
+    from vampomi_tpu.ops.spectral import shift_inverse
+
+    A, dm = problem
+    n = A.shape[0]
+    S_of = lambda tau, gam2: tau * (A @ A.T) + gam2 * np.eye(n)
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=n)
+    for tau, gam2 in [(2.5, 0.7), (17.3, 1e-3), (0.3, 40.0)]:
+        S = S_of(tau, gam2)
+        Sinv = np.linalg.inv(S)
+        for nb in (1, 7, 8):
+            wi = shift_inverse(factor, tau, gam2, nb=nb)
+            W = np.asarray(wi.W)
+            # W is the exact inverse Cholesky factor: W S W^T = I
+            np.testing.assert_allclose(W @ S @ W.T, np.eye(n), atol=1e-8)
+            np.testing.assert_allclose(float(wi.T), np.trace(Sinv), rtol=1e-10)
+            # solve path: W^T W b == S^{-1} b
+            np.testing.assert_allclose(
+                np.asarray(wi.solve(jnp.asarray(b))), Sinv @ b, atol=1e-8
+            )
+
+
+def test_shift_inverse_matches_trace_pass(problem, factor):
+    """Fused-trace == the independent blocked-forward-substitution trace."""
+    from vampomi_tpu.ops.spectral import shift_inverse
+
+    _, dm = problem
+    tau, gam2 = 3.7, 0.11
+    wi = shift_inverse(factor, tau, gam2, nb=8)
+    t1 = spectral_traces(factor, dm.mt, tau, gam2, winv=wi)
+    t2 = spectral_traces(factor, dm.mt, tau, gam2)  # L-based fwd-sub path
+    np.testing.assert_allclose(float(t1[0]), float(t2[0]), rtol=1e-9)
+    np.testing.assert_allclose(float(t1[1]), float(t2[1]), rtol=1e-9)

@@ -43,11 +43,17 @@ _jax.config.update("jax_enable_x64", True)
 # Opt out with VAMPOMI_NO_COMPILE_CACHE=1 or point VAMPOMI_COMPILE_CACHE at
 # a different directory.
 import os as _os
+import tempfile as _tempfile
 
 if _os.environ.get("VAMPOMI_NO_COMPILE_CACHE") != "1":
+    # per-user default: a world-shared fixed path breaks for the second user
+    # on a multi-user machine (directory owned by the first)
+    _default_cache = _os.path.join(
+        _tempfile.gettempdir(), f"vampomi_jax_cache_{_os.getuid()}"
+    )
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("VAMPOMI_COMPILE_CACHE", "/tmp/vampomi_jax_cache"),
+        _os.environ.get("VAMPOMI_COMPILE_CACHE", _default_cache),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

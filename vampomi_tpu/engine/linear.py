@@ -24,6 +24,7 @@ Scaling conventions (must match the reference to reproduce its numbers):
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import NamedTuple
 
@@ -38,7 +39,8 @@ from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax, ax_batch
 from ..ops.spectral import (
-    GramFactor, build_spectral, shift_cholesky, spectral_solve, spectral_traces,
+    GramFactor, build_spectral, default_nb, shift_inverse, spectral_solve,
+    spectral_traces,
 )
 from ..prior.mixture import (
     MixturePrior, em_update, g1, g1d, merge_components_device,
@@ -74,19 +76,22 @@ class LinearResult(NamedTuple):
     metrics_history: list
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("debug",))
 def _em_phase(dm: DesignMatrix, r1, gam1, prior: MixturePrior,
-              em_max_iter, em_err_thr, learn_vars, merge_vars_thr):
+              em_max_iter, em_err_thr, learn_vars, merge_vars_thr,
+              debug: bool = False):
     """EM prior update + component merge, one jitted dispatch
-    (reference: src/vamp.cpp:531-643 updatePrior + 627-642 merge)."""
+    (reference: src/vamp.cpp:531-643 updatePrior + 627-642 merge).
+    `debug` (static) compiles in the --verbosity 1 per-EM-iteration prints."""
     prior = em_update(
         r1, gam1, prior, dm.mmask, dm.mt,
         em_max_iter=em_max_iter, em_err_thr=em_err_thr, learn_vars=learn_vars,
+        debug=debug,
     )
     return merge_components_device(prior, merge_vars_thr)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("debug",))
 def _iteration_phase(
     dm: DesignMatrix,
     aty_adj,          # A^T y_adj, cached across iterations (src/vamp.cpp:303)
@@ -103,6 +108,7 @@ def _iteration_phase(
     true_signal,      # file units (beta); zeros if unknown
     cg_max_iter,
     cg_err_tol,
+    debug: bool = False,   # static: --verbosity 1 per-CG-iteration prints
 ):
     # Dtype policy: every M/N-length vector lives in the work dtype (f32 on
     # TPU — emulated f64 vector math is ~1000x slower there); gammas/alphas
@@ -145,6 +151,7 @@ def _iteration_phase(
         dm, V, MU0, gamw, gam2,
         max_iter=cg_max_iter, tol=cg_err_tol,
         onsager_cols=jnp.asarray([False, True]),
+        debug=debug,
     )
     x2_hat = res.mu[:, 0]
     invq_bern = res.mu[:, 1]
@@ -259,13 +266,15 @@ def _iteration_phase_spectral(
     Z = ax_batch(dm, jnp.stack([x1_hat, v], axis=1))
     z1 = Z[:, 0]
     av = Z[:, 1]
-    L = shift_cholesky(fac, gamw, gam2)
-    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2, av=av, L=L)
+    # fused factor + explicit inverse + trace: one matmul-shaped dense pass
+    # per iteration (ops/spectral.py shift_inverse)
+    winv = shift_inverse(fac, gamw, gam2, nb=default_nb(fac.n))
+    x2_hat, z2 = spectral_solve(dm, fac, v, gamw, gam2, av=av, winv=winv)
 
     x1_corr, _ = signal_metrics(x1_hat, ts, dm.n)
     r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
 
-    tr_qinv, tr_ata_qinv = spectral_traces(fac, dm.mt, gamw, gam2, L=L)
+    tr_qinv, tr_ata_qinv = spectral_traces(fac, dm.mt, gamw, gam2, winv=winv)
     alpha2 = gam2 * tr_qinv / dm.mt          # exact E[u^T Q^{-1} u], u ~ ±1/sqrt(Mt)
     eta2 = gam2 / alpha2
     gam1_new = _clamp(eta2 - gam2)
@@ -353,6 +362,9 @@ def infere_linear(
     N = int(dm.n)
     sqrt_n = float(np.sqrt(N))
     wd = dm.wd
+    # the reference narrates hyperparameters unconditionally (rank 0);
+    # --verbosity 1 additionally compiles in the per-CG / per-EM residual
+    # prints (src/vamp.cpp:615-617, 723-724, 747-748) via the phases' debug flag
     verbose = True
 
     def pad_m(vec):
@@ -515,6 +527,7 @@ def infere_linear(
                     dm, r1, gam1, prior,
                     jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
                     jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                    debug=cfg.verbosity == 1,
                 )
 
             # fresh Rademacher trace probe (seeded; fixes reference quirk Q4).
@@ -538,6 +551,7 @@ def infere_linear(
                     dm, aty_adj, y_raw, r1, gam1, prior, x1_prev,
                     jnp.asarray(it > 1), rho, gamw, mu_warm, bern, ts,
                     jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+                    debug=cfg.verbosity == 1,
                 )
 
             x1_hat = out["x1_hat"]

@@ -39,7 +39,9 @@ from ..io.bin_io import iteration_file, write_bin_slab, write_marker_file
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
 from ..ops.operator import DesignMatrix, atx, ax
-from ..ops.spectral import build_spectral, shift_cholesky, spectral_solve, spectral_traces
+from ..ops.spectral import (
+    build_spectral, default_nb, shift_inverse, spectral_solve, spectral_traces,
+)
 from ..prior.mixture import MixturePrior, em_update, g1, g1d
 from .linear import (
     GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
@@ -63,7 +65,7 @@ class ProbitResult(NamedTuple):
     metrics_history: list
 
 
-@functools.partial(jax.jit, static_argnames=("solver",))
+@functools.partial(jax.jit, static_argnames=("solver", "debug"))
 def _probit_phase(
     dm: DesignMatrix,
     y,                # 0/1 labels (N,)
@@ -78,6 +80,7 @@ def _probit_phase(
     cg_max_iter, cg_err_tol,
     fac=None,             # SpectralFactor when solver == "spectral"
     solver: str = "cg",
+    debug: bool = False,  # static: --verbosity 1 per-CG-iteration prints
 ):
     # Dtype policy: M/N vectors in the work dtype; scalars f64 (see
     # engine/linear.py).
@@ -130,9 +133,9 @@ def _probit_phase(
         Z = ax_batch(dm, jnp.stack([x1_hat * inv_sqrt_n, v], axis=1))
         z1_pred = Z[:, 0]
         av = Z[:, 1]
-        L = shift_cholesky(fac, tau2, gam2)
-        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2, av=av, L=L)
-        tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2, L=L)
+        winv = shift_inverse(fac, tau2, gam2, nb=default_nb(fac.n))
+        x2_hat, z2_hat = spectral_solve(dm, fac, v, tau2, gam2, av=av, winv=winv)
+        tr_qinv, _ = spectral_traces(fac, dm.mt, tau2, gam2, winv=winv)
         alpha2 = gam2 * tr_qinv / dm.mt
         cg_iters = jnp.asarray(0)
     else:
@@ -143,6 +146,7 @@ def _probit_phase(
             dm, V, MU0, tau2, gam2,
             max_iter=cg_max_iter, tol=cg_err_tol,
             onsager_cols=jnp.asarray([False, True]),
+            debug=debug,
         )
         x2_hat = res.mu[:, 0]
         invq_bern = res.mu[:, 1]
@@ -381,7 +385,7 @@ def infere_bin_class(
                 gam1, tau1, gam2, alpha1, prior, x1_prev,
                 jnp.asarray(it > 1), rho, probit_var, bern, ts_scaled,
                 jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
-                fac=fac, solver=solver,
+                fac=fac, solver=solver, debug=cfg.verbosity == 1,
             )
 
             # EM prior update for the NEXT iteration (g1 above used the old prior;
@@ -393,6 +397,7 @@ def infere_bin_class(
                     dm, r1_in, gam1, prior,
                     jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
                     jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                    debug=cfg.verbosity == 1,
                 )
 
             x1_hat = out["x1_hat"]

@@ -98,7 +98,7 @@ def newton_method_cov(
     eta = np.array(eta, dtype=np.float64)
     C = Z.shape[1]
 
-    for _ in range(501):
+    for it in range(501):
         g = gg + Z @ eta
         sign = 2.0 * y - 1.0
         arg = sign * g  # note: no 1/sqrt(probit_var) here (reference line 539)
@@ -126,6 +126,14 @@ def newton_method_cov(
 
         norm_eta = np.sqrt(np.dot(eta, eta))
         rel_err = 1.0 if norm_eta == 0 else np.sqrt(np.sum((eta - eta_new) ** 2)) / norm_eta
+        if verbosity == 1:
+            # reference per-iteration print, rank-0 + verbosity-gated
+            # (src/vamp_probit.cpp:595-596)
+            import jax
+
+            if jax.process_index() == 0:
+                print(f"[Newton_cov] it = {it}, relative err = {rel_err}",
+                      flush=True)
         if rel_err < 1e-4:
             break  # step discarded, reference breaks before the assignment
 

@@ -26,12 +26,23 @@ except ImportError:  # pure-python fallback; build with `python setup.py build_e
 
 def read_bin_slab(path: str, count: int, start: int = 0) -> np.ndarray:
     """Read `count` float64 values starting at element offset `start`.
-    Mirrors `mpi_read_vec_from_file` (src/utilities.cpp:251-267)."""
+    Mirrors `mpi_read_vec_from_file` (src/utilities.cpp:251-267).
+
+    A short read is fatal (the reference asserts the MPI-IO byte count,
+    src/utilities.cpp:373-381): truncated estimate/r1/true-signal inputs must
+    never silently flow into the engine as shorter vectors."""
     if _native is not None:
         out = np.empty(count, dtype="<f8")
-        _native.read_into(path, memoryview(out), start * 8)
+        _native.read_into(path, memoryview(out), start * 8)  # errors on EOF
         return out
-    return np.fromfile(path, dtype="<f8", count=count, offset=start * 8)
+    out = np.fromfile(path, dtype="<f8", count=count, offset=start * 8)
+    if out.size != count:
+        raise ValueError(
+            f"{path}: expected {count} float64 at element offset {start} "
+            f"but the file holds only {out.size} past it "
+            f"(file size {os.path.getsize(path)} bytes)"
+        )
+    return out
 
 
 def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
@@ -65,6 +76,17 @@ def read_meth_bin(
     """
     dt = np.dtype(dtype)
     offset = start_marker * n * 8
+    # guard against truncated / wrong-shape meth files up front with a clear
+    # message (the reference asserts byte counts after the collective read,
+    # src/utilities.cpp:38-46, 373-381; np.memmap's own error is opaque)
+    need = offset + m * n * 8
+    size = os.path.getsize(path)
+    if size < need:
+        raise ValueError(
+            f"{path}: meth file too small — need {need} bytes for markers "
+            f"[{start_marker}, {start_marker + m}) x N={n} float64, file has "
+            f"{size} (is N or the marker count wrong?)"
+        )
     if _native is not None:
         if dt == np.float32:
             out = np.empty((m, n), dtype=np.float32)
@@ -90,6 +112,11 @@ def read_vec_from_text(path: str, count: int, start: int = 0) -> np.ndarray:
             elif it >= start + count:
                 break
             it += 1
+    if len(vals) != count:
+        raise ValueError(
+            f"{path}: expected {count} values from position {start} but the "
+            f"file holds only {len(vals)} past it"
+        )
     return np.asarray(vals, dtype=np.float64)
 
 

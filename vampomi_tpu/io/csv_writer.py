@@ -17,16 +17,31 @@ except ImportError:
     _native = None
 
 
+def _is_writer() -> bool:
+    """CSV files are written by process 0 only, like the reference's rank-0
+    MPI-IO writes (src/utilities.cpp:366-401 guarded by rank checks at the
+    call sites, e.g. src/vamp.cpp:388-393) — a shared out_dir must not see
+    create/recreate races or duplicate positional writes from other hosts."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:  # jax not initialized yet — single-process tooling
+        return True
+
+
 class PositionalCSV:
     def __init__(self, path: str, header: list[str], create: bool = True):
         self.path = path
-        if create:
+        if create and _is_writer():
             if os.path.exists(path):
                 os.remove(path)  # reference MPI_File_delete (src/vamp.cpp:857)
             with open(path, "wb") as f:
                 f.write((", ".join(header) + "\n").encode())
 
     def write_row(self, iteration: int, values: list[float]) -> None:
+        if not _is_writer():
+            return
         values = [float(v) for v in values]
         if _native is not None:
             if not os.path.exists(self.path):

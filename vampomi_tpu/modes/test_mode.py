@@ -79,7 +79,12 @@ def run_test_linear(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     for it, z in _collect_predictions(ds, cfg):
         l2 = float(np.sum((y - z) ** 2))
         r2 = 1.0 - l2 / (stdev * stdev * len(y))
-        corr = float(np.dot(z, y) / np.sqrt(np.dot(z, z) * np.dot(y, y)))
+        # zero-norm guard: an all-zero estimate (e.g. iteration 1 of a cold
+        # start) predicts z = 0; the reference divides by 0 here and writes
+        # NaN (src/main_meth.cpp:181-192) — deliberate divergence, matching
+        # engine/metrics.py's guard
+        den = float(np.sqrt(np.dot(z, z) * np.dot(y, y)))
+        corr = float(np.dot(z, y)) / den if den > 0.0 else 0.0
         row = [r2, corr * corr]
         rows.append(row)
         out.write_row(it, row)
@@ -90,10 +95,13 @@ def run_test_probit(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     y = ds.phen.y
 
     # probit test csv: rows only, no header (src/main_meth_probit.cpp:106-199)
+    from ..io.csv_writer import _is_writer
+
     path = os.path.join(cfg.out_dir, cfg.out_name + "_test.csv")
-    if os.path.exists(path):
-        os.remove(path)
-    open(path, "wb").close()
+    if _is_writer():
+        if os.path.exists(path):
+            os.remove(path)
+        open(path, "wb").close()
     out = PositionalCSV(path, [], create=False)
 
     rows = []

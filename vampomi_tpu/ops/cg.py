@@ -52,11 +52,14 @@ def cg_solve(
     max_iter: int,
     tol: float,
     onsager_cols: jax.Array | None = None,
+    debug: bool = False,
 ) -> CGResult:
     """Solve Q mu = v column-wise for v of shape (M, K).
 
     onsager_cols: optional (K,) bool — columns using the denoiser==0 early
     exit on gam2·⟨v, mu⟩ stabilization in addition to the residual test.
+    debug: static flag compiling in the reference's per-CG-iteration
+    residual prints (--verbosity 1; src/vamp.cpp:723-724, 747-748).
     """
     wd = dm.wd
     v = (v if v.ndim == 2 else v[:, None]).astype(wd)
@@ -138,6 +141,21 @@ def cg_solve(
             s.rel_err,
         )
         active = jnp.logical_and(still, rel_err >= tol)
+
+        if debug:
+            # reference per-iteration narration (src/vamp.cpp:747-748 for the
+            # main solve, 723-724 for the onsager early-exit estimate) — one
+            # line per column, printed via host callback
+            norm_mu = jnp.sqrt(colsum(mu, mu)).astype(jnp.float64)
+            jax.debug.print(
+                "[CG] it = {i}: ||r_it|| / ||RHS|| = {e}, ||x_it|| = {m}",
+                i=s.i + 1, e=rel_err, m=norm_mu,
+            )
+            jax.debug.print(
+                "[CG onsager] it = {i}: relative error for onsager is {o}",
+                i=s.i + 1,
+                o=jnp.where(onsager_cols, ons_rel, jnp.nan),
+            )
 
         return State(
             i=s.i + 1,

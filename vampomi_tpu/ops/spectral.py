@@ -176,6 +176,97 @@ def build_spectral(dm: DesignMatrix, block: int = 16384) -> GramFactor:
     return GramFactor(K=gram(dm, block=block))
 
 
+class ShiftInverse(NamedTuple):
+    """Per-iteration dense LMMSE state: the explicit inverse Cholesky factor
+    of the shifted dual S = gam2 I + tau K, plus its Frobenius norm.
+
+        W = L^{-1}  with  L L^T = S        (N, N) lower triangular
+        T = ||W||_F^2 = tr(S^{-1})         () f64
+
+    Having W explicitly makes every per-iteration quantity two MXU matvecs:
+    S^{-1} b = W^T (W b), and both VAMP traces are closed forms of T
+    (see `spectral_traces`).  Replaces the factor-then-forward-substitute
+    pair (`shift_cholesky` + `spectral_traces(L=...)`) with ONE fused pass.
+    """
+
+    W: jax.Array
+    T: jax.Array
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        """S^{-1} b via two triangular matvecs (O(N^2), HBM-bound)."""
+        return self.W.T @ (self.W @ b)
+
+
+def shift_inverse(fac: GramFactor, tau, gam2, nb: int = 8) -> ShiftInverse:
+    """Fused blocked Cholesky + inverse factor + trace of S = gam2 I + tau K.
+
+    One pass produces everything the VAMP iteration needs from the dense
+    N×N problem (replaces the reference's per-iteration CG solves and
+    Hutchinson probes, src/vamp.cpp:494-529, 664-757, with closed forms):
+
+      * right-looking blocked Cholesky: the N^3/3 trailing (syrk) updates are
+        plain MXU matmuls;
+      * each panel is formed as `A_panel @ Wjj^T` — a matmul against the
+        diagonal block's explicit inverse instead of a large triangular
+        solve (triangular solves with big RHS are sequential-poor on TPU;
+        measured 4x slower than the matmul formulation at N=8192 f32);
+      * the inverse factor W = L^{-1} is built left-looking row-group by
+        row-group: W[i,j] = -Wii (sum_{k=j}^{i-1} L[i,k] W[k,j]) — all
+        matmuls over already-final blocks, N^3/3 FLOPs exploiting W's
+        block-triangular zero structure;
+      * T = ||W||_F^2 accumulates per block in the work dtype, summed f64.
+
+    The only non-matmul work is nb small (N/nb) Cholesky factorizations and
+    their trtri's.  Total ~2N^3/3 FLOPs, all MXU-shaped — strictly less
+    latency than the previous factor (N^3/3, partly triangular) + separate
+    forward-substitution trace pass (N^3/3, partly triangular), and the
+    per-iteration `cho_solve` triangular solves disappear too.
+    """
+    wd = fac.K.dtype
+    n = fac.n
+    tau_c = jnp.asarray(tau).astype(wd)
+    gam2_c = jnp.asarray(gam2).astype(wd)
+    S = tau_c * fac.K + gam2_c * jnp.eye(n, dtype=wd)
+
+    nb = max(1, min(nb, n))
+    bounds = np.linspace(0, n, nb + 1).astype(int)
+
+    A = S                       # trailing blocks, updated in place
+    Lp = jnp.zeros_like(S)      # sub-diagonal panels of L
+    W = jnp.zeros_like(S)       # inverse factor, filled block by block
+    T = jnp.asarray(0.0, dtype=jnp.float64)
+
+    for i in range(nb):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi == lo:
+            continue
+        b = hi - lo
+        Lii = jnp.linalg.cholesky(A[lo:hi, lo:hi])
+        Wii = jax.scipy.linalg.solve_triangular(
+            Lii, jnp.eye(b, dtype=wd), lower=True
+        )
+        W = W.at[lo:hi, lo:hi].set(Wii)
+        T = T + jnp.sum(Wii * Wii).astype(jnp.float64)
+
+        if hi < n:
+            # panel of L: A[hi:, lo:hi] already carries every trailing update
+            # from steps < i, so panel = A_panel L_ii^{-T} = A_panel Wii^T
+            panel = A[hi:, lo:hi] @ Wii.T
+            Lp = Lp.at[hi:, lo:hi].set(panel)
+            A = A.at[hi:, hi:].add(-(panel @ panel.T))
+
+        # row-group i of the inverse factor, left-looking: every L[i,k] and
+        # W[k,j] needed (k < i) is final
+        for j in range(i):
+            jlo, jhi = int(bounds[j]), int(bounds[j + 1])
+            acc = Lp[lo:hi, jlo:lo] @ W[jlo:lo, jlo:jhi]
+            Wij = -(Wii @ acc)
+            W = W.at[lo:hi, jlo:jhi].set(Wij)
+            T = T + jnp.sum(Wij * Wij).astype(jnp.float64)
+
+    return ShiftInverse(W=W, T=T)
+
+
 def _blocked_cholesky(S: jax.Array, nb: int) -> jax.Array:
     """Right-looking blocked Cholesky: the N^3/3 trailing (syrk) updates run
     as plain MXU matmuls, measured 1.45x faster than XLA's monolithic
@@ -199,6 +290,12 @@ def _blocked_cholesky(S: jax.Array, nb: int) -> jax.Array:
     return L
 
 
+def default_nb(n: int) -> int:
+    """Block count for the fused factor: 1 (monolithic chol + trtri) below
+    the size where blocking pays; 8 panels measured fastest at N=8192 f32."""
+    return 8 if n >= 2048 else 1
+
+
 def shift_cholesky(fac: GramFactor, tau, gam2) -> jax.Array:
     """L with L L^T = gam2 I + tau K, in the factor's dtype."""
     wd = fac.K.dtype
@@ -218,12 +315,14 @@ def spectral_solve(
     gam2,
     av: jax.Array | None = None,
     L: jax.Array | None = None,
+    winv: ShiftInverse | None = None,
 ):
     """Exact mu = (tau A^T A + gam2 I)^{-1} v via Woodbury.
 
     Returns (mu, z_mu) with z_mu = A mu obtained from the push-through
-    identity (no extra pass over X).  Pass `av = A v` and/or a precomputed
-    shift Cholesky `L` if already available.
+    identity (no extra pass over X).  Pass `av = A v` if already available,
+    plus either a fused inverse factor `winv` (preferred: S^{-1} av is two
+    O(N^2) matvecs) or a shift Cholesky `L` (cho_solve fallback).
     """
     wd = dm.wd
     tau_c = jnp.asarray(tau).astype(wd)
@@ -232,9 +331,12 @@ def spectral_solve(
     vc = v.astype(wd)
     if av is None:
         av = ax(dm, vc)
-    if L is None:
-        L = shift_cholesky(fac, tau, gam2)
-    q = jax.scipy.linalg.cho_solve((L, True), av.astype(wd))  # S^{-1} A v
+    if winv is not None:
+        q = winv.solve(av.astype(wd))                         # S^{-1} A v
+    else:
+        if L is None:
+            L = shift_cholesky(fac, tau, gam2)
+        q = jax.scipy.linalg.cho_solve((L, True), av.astype(wd))
     mu = (vc - tau_c * atx(dm, q)) / gam2_c
     return mu, q  # q == A mu exactly (push-through identity)
 
@@ -243,6 +345,7 @@ def spectral_traces(
     fac: GramFactor, mt, tau, gam2,
     L: jax.Array | None = None,
     trace_blocks: int = 8,
+    winv: ShiftInverse | None = None,
 ):
     """Exact (tr Q^{-1}, tr(A^T A Q^{-1})) over the Mt real markers, f64.
 
@@ -258,9 +361,12 @@ def spectral_traces(
     solve).  Block sums are reduced in the work dtype; the cross-block
     accumulator is f64 (f64 vector math is emulated on TPU).
     """
+    n = fac.n
+    if winv is not None:
+        # T already accumulated during the fused factor pass
+        return _trace_closed_forms(winv.T, n, mt, tau, gam2)
     if L is None:
         L = shift_cholesky(fac, tau, gam2)
-    n = fac.n
     nb = max(1, min(trace_blocks, n))
     bounds = np.linspace(0, n, nb + 1).astype(int)
     T = jnp.asarray(0.0, dtype=jnp.float64)
@@ -286,9 +392,16 @@ def spectral_traces(
                 L[ilo:ihi, ilo:ihi], acc, lower=True
             )
             T = T + jnp.sum(Xs[i] ** 2).astype(jnp.float64)
+    return _trace_closed_forms(T, n, mt, tau, gam2)
+
+
+def _trace_closed_forms(T, n, mt, tau, gam2):
+    """(tr Q^{-1}, tr(A^T A Q^{-1})) from T = tr(S^{-1}) — see module
+    docstring for the zero-mode counting argument."""
     tau64 = jnp.asarray(tau, dtype=jnp.float64)
     gam264 = jnp.asarray(gam2, dtype=jnp.float64)
     mt64 = jnp.asarray(mt, dtype=jnp.float64)
-    tr_qinv = T + (mt64 - n) / gam264
-    tr_ata_qinv = (n - gam264 * T) / tau64
+    T64 = jnp.asarray(T, dtype=jnp.float64)
+    tr_qinv = T64 + (mt64 - n) / gam264
+    tr_ata_qinv = (n - gam264 * T64) / tau64
     return tr_qinv, tr_ata_qinv

@@ -97,6 +97,7 @@ def em_update(
     em_max_iter,
     em_err_thr,
     learn_vars,
+    debug: bool = False,
 ) -> MixturePrior:
     """One call of the reference's `updatePrior` EM loop
     (src/vamp.cpp:531-643, minus the merge step — see `merge_components`).
@@ -185,6 +186,14 @@ def em_update(
         dist_probs = masked_rel_dist(probs_next, probs64)
         dist_vars = masked_rel_dist(vars_next, vars64)
         done = jnp.logical_and(dist_probs < em_err_thr, dist_vars < em_err_thr)
+
+        if debug:
+            # per-EM-iteration convergence narration (--verbosity 1;
+            # reference src/vamp.cpp:615-617)
+            jax.debug.print(
+                "it = {i}: dist_probs = {p} & dist_vars = {v}",
+                i=s.it, p=dist_probs, v=dist_vars,
+            )
 
         return EMState(it=s.it + 1, probs=probs_next, vars=vars_next, done=done)
 

@@ -49,14 +49,19 @@ def estimate_passes(cg_iters: int, model: str = "linear", solver: str = "cg") ->
 class Tracer:
     def __init__(self, path: str | None = None, model: str = "linear",
                  solver: str = "cg"):
-        self.path = path
+        # trace files are written by process 0 only — concurrent hosts
+        # sharing an out_dir must not interleave/duplicate jsonl lines
+        # (matches the rank-0 gating of the reference's CSV streams)
+        from ..io.csv_writer import _is_writer
+
+        self.path = path if _is_writer() else None
         self.model = model
         self.solver = solver
         self.records: list[IterationTelemetry] = []
         self.total_comp_time = 0.0
         self._t0 = None
-        if path and os.path.exists(path):
-            os.remove(path)
+        if self.path and os.path.exists(self.path):
+            os.remove(self.path)
 
     def start(self):
         self._t0 = time.time()
