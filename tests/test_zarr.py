@@ -1,0 +1,114 @@
+"""zarr v2 directory-store IO: the reference's production input format
+(reference simulation/sim_top_iid.py:8-16) must work without the zarr
+package via io/zarr_lite.py, and interoperate with real zarr when present."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vampomi_tpu.io.zarr_lite import open_array, save_array
+
+
+@pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
+@pytest.mark.parametrize("chunks", [None, (7, 5), (16, 16)])
+def test_roundtrip(tmp_path, compressor, chunks):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(13, 11))
+    p = str(tmp_path / "a.zarr")
+    save_array(p, arr, chunks=chunks, compressor=compressor)
+    z = open_array(p)
+    assert z.shape == arr.shape and z.dtype == arr.dtype
+    np.testing.assert_array_equal(np.asarray(z), arr)
+    np.testing.assert_array_equal(z[3:7, 2:], arr[3:7, 2:])
+
+
+def test_missing_chunk_is_fill_value(tmp_path):
+    arr = np.arange(24, dtype=np.float64).reshape(6, 4)
+    p = str(tmp_path / "b.zarr")
+    save_array(p, arr, chunks=(3, 4), compressor=None)
+    os.remove(os.path.join(p, "1.0"))  # drop the second chunk row-group
+    out = np.asarray(open_array(p))
+    np.testing.assert_array_equal(out[:3], arr[:3])
+    np.testing.assert_array_equal(out[3:], 0.0)
+
+
+def test_corrupt_chunk_fatal(tmp_path):
+    arr = np.ones((4, 4))
+    p = str(tmp_path / "c.zarr")
+    save_array(p, arr, compressor=None)
+    with open(os.path.join(p, "0.0"), "wb") as f:
+        f.write(b"\0" * 16)  # wrong byte count
+    with pytest.raises(ValueError, match="chunk holds"):
+        np.asarray(open_array(p))
+
+
+def test_blosc_reported_clearly(tmp_path):
+    p = tmp_path / "d.zarr"
+    p.mkdir()
+    meta = dict(zarr_format=2, shape=[2, 2], chunks=[2, 2], dtype="<f8",
+                compressor={"id": "blosc", "cname": "lz4"}, fill_value=0,
+                order="C", filters=None)
+    (p / ".zarray").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="blosc"):
+        open_array(str(p))
+
+
+def test_real_zarr_interop(tmp_path):
+    """When the real zarr package exists, stores written by zarr_lite must
+    be readable by it and vice versa (skipped in zarr-free environments)."""
+    zarr = pytest.importorskip("zarr")
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(9, 6))
+
+    ours = str(tmp_path / "ours.zarr")
+    save_array(ours, arr, chunks=(4, 3), compressor="zlib")
+    np.testing.assert_array_equal(np.array(zarr.open(ours)), arr)
+
+    theirs = str(tmp_path / "theirs.zarr")
+    z = zarr.open(theirs, mode="w", shape=arr.shape, chunks=(4, 3),
+                  dtype="<f8")
+    z[:] = arr
+    np.testing.assert_array_equal(np.asarray(open_array(theirs)), arr)
+
+
+def test_sim_top_iid_zarr_stores(tmp_path):
+    """The streaming simulator consumes zarr v2 directory stores — the
+    reference's actual input path — and matches the .npy route bit-for-bit."""
+    from vampomi_tpu.sim.sim_top_iid import simulate_top
+    from vampomi_tpu.io.bin_io import read_meth_bin
+
+    rng = np.random.default_rng(5)
+    n, m_chr = 40, [18, 9]
+    stores_z = tmp_path / "zarr_stores"
+    stores_n = tmp_path / "npy_stores"
+    stores_z.mkdir()
+    stores_n.mkdir()
+    chroms = []
+    for i, mc in enumerate(m_chr):
+        arr = rng.normal(size=(n, mc))
+        save_array(str(stores_z / f"chr{i+1:02d}"), arr,
+                   chunks=(n, 5), compressor="zlib")
+        np.save(stores_n / f"chr{i+1:02d}.npy", arr)
+        chroms.append(arr)
+    X_full = np.concatenate(chroms, axis=1)
+    m = X_full.shape[1]
+
+    out_z = tmp_path / "out_z"
+    out_n = tmp_path / "out_n"
+    out_z.mkdir()
+    out_n.mkdir()
+    rz = simulate_top(str(stores_z), str(out_z), "ds", h2=0.8, lam=0.1,
+                      ratio=0.7, m=m, n=n, seed=11)
+    rn = simulate_top(str(stores_n), str(out_n), "ds", h2=0.8, lam=0.1,
+                      ratio=0.7, m=m, n=n, seed=11)
+
+    msk = np.loadtxt(out_z / (rz["fname"] + ".msk")).astype(bool)
+    Xtr = read_meth_bin(rz["train_bin"], rz["n_train"], m)
+    np.testing.assert_allclose(Xtr, X_full[msk].T)
+
+    # identical bytes to the .npy route at the same seed
+    for key in ("train_bin", "test_bin"):
+        with open(rz[key], "rb") as a, open(rn[key], "rb") as b:
+            assert a.read() == b.read()

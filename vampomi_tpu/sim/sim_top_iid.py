@@ -21,16 +21,21 @@ import numpy as np
 
 
 def _open_store(path: str):
-    """Load one chromosome as an (N, M_chr) float array."""
+    """Load one chromosome as an (N, M_chr) float array.
+
+    zarr v2 directory stores — the reference's production input format
+    (simulation/sim_top_iid.py:8-16) — are read with the zarr package when
+    installed, else with the built-in stdlib reader (io/zarr_lite.py, which
+    handles null/zlib/gzip-compressed v2 stores).  `.npy` files remain the
+    lightweight test format."""
     if path.endswith(".npy"):
         return np.load(path, mmap_mode="r")
     try:
         import zarr
-    except ImportError as e:
-        raise ImportError(
-            "zarr is not installed; provide per-chromosome .npy files or "
-            "install zarr for the reference input format"
-        ) from e
+    except ImportError:
+        from ..io.zarr_lite import open_array
+
+        return open_array(path)
     return zarr.open(path)
 
 
