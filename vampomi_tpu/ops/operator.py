@@ -80,34 +80,19 @@ def _accum_dtype(dm: DesignMatrix):
     return jnp.float32 if dm.X.dtype == jnp.bfloat16 else dm.X.dtype
 
 
-def _use_pallas(dm: DesignMatrix) -> bool:
-    """Opt-in Pallas matvec kernels (ops/pallas_matvec.py): VAMPOMI_PALLAS=1,
-    TPU default device, low-precision X, single-shard layout (the sharded
-    path goes through XLA's sharded einsum + all-reduce instead)."""
-    import os
-
-    if os.environ.get("VAMPOMI_PALLAS") != "1":
-        return False
-    if dm.X.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    try:
-        # shard-local kernels only: on a multi-device mesh the sharded einsum
-        # + all-reduce path must run instead (pallas_call has no SPMD rule)
-        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
-    except Exception:
-        return False
-
-
 def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     """z = A x for x (M_pad,) → (N,), in the work dtype.
 
     Matches reference `data::Ax` (src/data.cpp:340-373): per-marker
     (X_j - mu_j) * sigma_inv_j * x_j accumulated over markers, then / sqrt(N).
-    """
-    if _use_pallas(dm):
-        from .pallas_matvec import ax_pallas
 
-        return ax_pallas(dm.X, x, dm.mave, dm.msig, dm.inv_sqrt_n)
+    The XLA einsum IS the fast path: hand-written Pallas matvec kernels were
+    measured on v5e at M=158720 f32 / M=317440 bf16 and did not beat it
+    (ax: within 2 percent either way; atx: pallas 5-13 percent SLOWER) — the
+    fused standardize-matvec is HBM-bound at ~620 GB/s and XLA already
+    saturates it, so the kernels were deleted rather than shipped as
+    unproven freight.
+    """
     w = dm.msig * x.astype(dm.wd)
     z = jnp.einsum(
         "m,mn->n", w.astype(dm.X.dtype), dm.X,
@@ -123,10 +108,6 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
 
     Matches reference `data::ATx` (src/data.cpp:315-333).
     """
-    if _use_pallas(dm):
-        from .pallas_matvec import atx_pallas
-
-        return atx_pallas(dm.X, y, dm.mave, dm.msig, dm.inv_sqrt_n)
     yc = y.astype(dm.wd)
     xy = jnp.einsum(
         "mn,n->m", dm.X, yc.astype(dm.X.dtype),

@@ -193,8 +193,11 @@ class ShiftInverse(NamedTuple):
     T: jax.Array
 
     def solve(self, b: jax.Array) -> jax.Array:
-        """S^{-1} b via two triangular matvecs (O(N^2), HBM-bound)."""
-        return self.W.T @ (self.W @ b)
+        """S^{-1} b via two triangular matvecs (O(N^2), HBM-bound).
+        Full f32 operand precision: TPU matmuls default to bf16 operands,
+        which would inject ~1e-3 error into the exact solve."""
+        with jax.default_matmul_precision("highest"):
+            return self.W.T @ (self.W @ b)
 
 
 def shift_inverse(fac: GramFactor, tau, gam2, nb: int = 8) -> ShiftInverse:
@@ -231,39 +234,104 @@ def shift_inverse(fac: GramFactor, tau, gam2, nb: int = 8) -> ShiftInverse:
     nb = max(1, min(nb, n))
     bounds = np.linspace(0, n, nb + 1).astype(int)
 
-    A = S                       # trailing blocks, updated in place
-    Lp = jnp.zeros_like(S)      # sub-diagonal panels of L
-    W = jnp.zeros_like(S)       # inverse factor, filled block by block
+    with jax.default_matmul_precision("highest"):
+        return _shift_inverse_body(S, bounds, nb, n, wd)
+
+
+_FACTOR_BASE = 256  # direct chol+trtri below this size
+
+
+def _factor_diag(A):
+    """(L, W = L^{-1}) of a dense SPD block by 2x2 recursion:
+
+        A = [[A11, A21^T], [A21, A22]],  L11 W11 from A11,
+        P = A21 W11^T,  Sc = A22 - P P^T,  L22 W22 from Sc,
+        L = [[L11, 0], [P, L22]],  W = [[W11, 0], [-W22 P W11, W22]].
+
+    Native cholesky/triangular-solve on TPU is row-sequential (vector unit)
+    and dominates the blocked factor at 512-1024 block sizes; the recursion
+    pushes all but the _FACTOR_BASE-sized leaves onto the MXU as matmuls.
+    """
+    b = A.shape[0]
+    if b <= _FACTOR_BASE:
+        L = jnp.linalg.cholesky(A)
+        W = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(b, dtype=A.dtype), lower=True
+        )
+        return L, W
+    h = (b // 2 + 127) // 128 * 128 if b > 256 else b // 2  # lane-aligned split
+    h = min(h, b - 1)
+    L11, W11 = _factor_diag(A[:h, :h])
+    P = A[h:, :h] @ W11.T
+    Sc = A[h:, h:] - P @ P.T
+    L22, W22 = _factor_diag(Sc)
+    L = jnp.zeros_like(A)
+    L = L.at[:h, :h].set(L11)
+    L = L.at[h:, :h].set(P)
+    L = L.at[h:, h:].set(L22)
+    W = jnp.zeros_like(A)
+    W = W.at[:h, :h].set(W11)
+    W = W.at[h:, :h].set(-(W22 @ (P @ W11)))
+    W = W.at[h:, h:].set(W22)
+    return L, W
+
+
+def _shift_inverse_body(S, bounds, nb, n, wd):
+    """Block-dict right-looking factor + left-looking inverse.
+
+    Every operand is an individual (bi, bj) block in a Python dict, so XLA
+    never materializes a full-N^2 `.at[...]` functional update inside the
+    loop (each of those costs a 4 N^2-byte HBM copy when the buffer cannot
+    be aliased — measured ~10 ms of pure copy traffic at N=8192, nb=8).
+    The full W is assembled exactly once at the end with jnp.block.
+    """
+    spans = [(int(bounds[i]), int(bounds[i + 1])) for i in range(nb)]
+    spans = [(lo, hi) for lo, hi in spans if hi > lo]
+    nb = len(spans)
+
+    Ab = {}   # trailing Schur blocks, lower triangle only: (i, j), i >= j
+    for i, (ilo, ihi) in enumerate(spans):
+        for j, (jlo, jhi) in enumerate(spans[: i + 1]):
+            Ab[(i, j)] = S[ilo:ihi, jlo:jhi]
+
+    Lb = {}   # sub-diagonal panels of L
+    Wb = {}   # inverse-factor blocks, lower triangle
     T = jnp.asarray(0.0, dtype=jnp.float64)
 
     for i in range(nb):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        if hi == lo:
-            continue
-        b = hi - lo
-        Lii = jnp.linalg.cholesky(A[lo:hi, lo:hi])
-        Wii = jax.scipy.linalg.solve_triangular(
-            Lii, jnp.eye(b, dtype=wd), lower=True
-        )
-        W = W.at[lo:hi, lo:hi].set(Wii)
+        _, Wii = _factor_diag(Ab[(i, i)])
+        Wb[(i, i)] = Wii
         T = T + jnp.sum(Wii * Wii).astype(jnp.float64)
 
-        if hi < n:
-            # panel of L: A[hi:, lo:hi] already carries every trailing update
-            # from steps < i, so panel = A_panel L_ii^{-T} = A_panel Wii^T
-            panel = A[hi:, lo:hi] @ Wii.T
-            Lp = Lp.at[hi:, lo:hi].set(panel)
-            A = A.at[hi:, hi:].add(-(panel @ panel.T))
+        # panel of L: Ab[(r, i)] already carries every trailing update from
+        # steps < i, so L[r, i] = A[r, i] L_ii^{-T} = A[r, i] Wii^T
+        for r in range(i + 1, nb):
+            Lb[(r, i)] = Ab[(r, i)] @ Wii.T
+        # trailing (syrk) update, blockwise
+        for r in range(i + 1, nb):
+            for s in range(i + 1, r + 1):
+                Ab[(r, s)] = Ab[(r, s)] - Lb[(r, i)] @ Lb[(s, i)].T
 
-        # row-group i of the inverse factor, left-looking: every L[i,k] and
-        # W[k,j] needed (k < i) is final
+        # row-group i of the inverse factor, left-looking: every L[i, k] and
+        # W[k, j] needed (k < i) is final
         for j in range(i):
-            jlo, jhi = int(bounds[j]), int(bounds[j + 1])
-            acc = Lp[lo:hi, jlo:lo] @ W[jlo:lo, jlo:jhi]
+            acc = Lb[(i, j)] @ Wb[(j, j)]
+            for k in range(j + 1, i):
+                acc = acc + Lb[(i, k)] @ Wb[(k, j)]
             Wij = -(Wii @ acc)
-            W = W.at[lo:hi, jlo:jhi].set(Wij)
+            Wb[(i, j)] = Wij
             T = T + jnp.sum(Wij * Wij).astype(jnp.float64)
 
+    rows = []
+    for i, (ilo, ihi) in enumerate(spans):
+        row = []
+        for j, (jlo, jhi) in enumerate(spans):
+            if j <= i:
+                row.append(Wb[(i, j)])
+            else:
+                row.append(jnp.zeros((ihi - ilo, jhi - jlo), dtype=wd))
+        rows.append(row)
+    W = jnp.block(rows) if nb > 1 else Wb[(0, 0)]
     return ShiftInverse(W=W, T=T)
 
 
@@ -275,25 +343,31 @@ def _blocked_cholesky(S: jax.Array, nb: int) -> jax.Array:
     bounds = np.linspace(0, n, nb + 1).astype(int)
     L = jnp.zeros_like(S)
     A = S
-    for j in range(nb):
-        lo, hi = int(bounds[j]), int(bounds[j + 1])
-        if hi == lo:
-            continue
-        Ljj = jnp.linalg.cholesky(A[lo:hi, lo:hi])
-        L = L.at[lo:hi, lo:hi].set(Ljj)
-        if hi < n:
-            panel = jax.scipy.linalg.solve_triangular(
-                Ljj, A[hi:, lo:hi].T, lower=True
-            ).T
-            L = L.at[hi:, lo:hi].set(panel)
-            A = A.at[hi:, hi:].add(-(panel @ panel.T))
+    # full f32 operand precision: bf16-operand trailing updates can lose
+    # positive-definiteness at high shift condition (measured NaN at
+    # cond ~ 1e5 on v5e)
+    with jax.default_matmul_precision("highest"):
+        for j in range(nb):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            if hi == lo:
+                continue
+            Ljj = jnp.linalg.cholesky(A[lo:hi, lo:hi])
+            L = L.at[lo:hi, lo:hi].set(Ljj)
+            if hi < n:
+                panel = jax.scipy.linalg.solve_triangular(
+                    Ljj, A[hi:, lo:hi].T, lower=True
+                ).T
+                L = L.at[hi:, lo:hi].set(panel)
+                A = A.at[hi:, hi:].add(-(panel @ panel.T))
     return L
 
 
 def default_nb(n: int) -> int:
     """Block count for the fused factor: 1 (monolithic chol + trtri) below
-    the size where blocking pays; 8 panels measured fastest at N=8192 f32."""
-    return 8 if n >= 2048 else 1
+    the size where blocking pays; the base/nb landscape is flat (24.3-25 ms
+    across base 256-2048, nb 4-16 at N=8192 f32 HIGHEST on v5e), 16 panels
+    measured marginally fastest."""
+    return 16 if n >= 4096 else (8 if n >= 2048 else 1)
 
 
 def shift_cholesky(fac: GramFactor, tau, gam2) -> jax.Array:
@@ -370,28 +444,31 @@ def spectral_traces(
     nb = max(1, min(trace_blocks, n))
     bounds = np.linspace(0, n, nb + 1).astype(int)
     T = jnp.asarray(0.0, dtype=jnp.float64)
-    for j in range(nb):
-        jlo, jhi = int(bounds[j]), int(bounds[j + 1])
-        if jhi == jlo:
-            continue
-        Xs: dict[int, jax.Array] = {}
-        for i in range(j, nb):
-            ilo, ihi = int(bounds[i]), int(bounds[i + 1])
-            if ihi == ilo:
+    # full f32 operand precision for the block-update matmuls (see
+    # shift_inverse's docstring on TPU bf16-operand defaults)
+    with jax.default_matmul_precision("highest"):
+        for j in range(nb):
+            jlo, jhi = int(bounds[j]), int(bounds[j + 1])
+            if jhi == jlo:
                 continue
-            if i == j:
-                acc = jnp.eye(ihi - ilo, jhi - jlo, dtype=L.dtype)
-            else:
-                acc = jnp.zeros((ihi - ilo, jhi - jlo), dtype=L.dtype)
-            for k in range(j, i):
-                if k not in Xs:  # empty block (n not divisible by nb)
+            Xs: dict[int, jax.Array] = {}
+            for i in range(j, nb):
+                ilo, ihi = int(bounds[i]), int(bounds[i + 1])
+                if ihi == ilo:
                     continue
-                klo, khi = int(bounds[k]), int(bounds[k + 1])
-                acc = acc - L[ilo:ihi, klo:khi] @ Xs[k]
-            Xs[i] = jax.scipy.linalg.solve_triangular(
-                L[ilo:ihi, ilo:ihi], acc, lower=True
-            )
-            T = T + jnp.sum(Xs[i] ** 2).astype(jnp.float64)
+                if i == j:
+                    acc = jnp.eye(ihi - ilo, jhi - jlo, dtype=L.dtype)
+                else:
+                    acc = jnp.zeros((ihi - ilo, jhi - jlo), dtype=L.dtype)
+                for k in range(j, i):
+                    if k not in Xs:  # empty block (n not divisible by nb)
+                        continue
+                    klo, khi = int(bounds[k]), int(bounds[k + 1])
+                    acc = acc - L[ilo:ihi, klo:khi] @ Xs[k]
+                Xs[i] = jax.scipy.linalg.solve_triangular(
+                    L[ilo:ihi, ilo:ihi], acc, lower=True
+                )
+                T = T + jnp.sum(Xs[i] ** 2).astype(jnp.float64)
     return _trace_closed_forms(T, n, mt, tau, gam2)
 
 
