@@ -169,6 +169,78 @@ bool parallel_read_f64_as_f32(const char* path, float* dst, size_t n_doubles,
     return true;
 }
 
+// Fused streamed ingest + per-marker standardization statistics.  The
+// reference computes marker mean / inverse-sd in a separate native
+// OpenMP+SIMD pass after the collective read (src/data.cpp:233-283); here
+// the f64 -> f32 narrowing read and the f64 statistics share one pass over
+// the file, so loading never re-reads the matrix from host memory.  Threads
+// split on whole marker rows so each row's statistics have a single owner;
+// per row: sequential f64 sum -> mean, then centered sum of squares (the
+// same two-pass formula as the numpy fallback).
+bool parallel_read_f64_as_f32_stats(const char* path, float* dst,
+                                    size_t n_rows, size_t n_cols,
+                                    off_t offset, double* mave, double* sumsq,
+                                    std::string* err) {
+    if (n_cols == 0) { *err = "n_cols must be positive"; return false; }
+    size_t total_bytes = n_rows * n_cols * 8;
+    size_t nthreads = std::min(pick_threads(total_bytes), n_rows);
+    size_t per_rows = (n_rows + nthreads - 1) / nthreads;
+
+    std::vector<std::thread> threads;
+    std::vector<std::string> errs(std::max<size_t>(nthreads, 1));
+    std::vector<char> oks(std::max<size_t>(nthreads, 1), 1);
+
+    auto work = [&](size_t t, size_t rlo, size_t rhi) {
+        int fd = open_read(path, &errs[t]);
+        if (fd < 0) { oks[t] = 0; return; }
+        size_t chunk_rows = std::max<size_t>(1, (kChunkBytes / 8) / n_cols);
+        std::vector<double> buf(std::min(chunk_rows, rhi - rlo) * n_cols);
+        for (size_t r = rlo; r < rhi; r += chunk_rows) {
+            size_t rows = std::min(chunk_rows, rhi - r);
+            if (!pread_all(fd, (char*)buf.data(), rows * n_cols * 8,
+                           offset + (off_t)((r - 0) * n_cols * 8), &errs[t])) {
+                oks[t] = 0;
+                ::close(fd);
+                return;
+            }
+            for (size_t i = 0; i < rows; i++) {
+                const double* src = buf.data() + i * n_cols;
+                float* out = dst + (r + i) * n_cols;
+                double s = 0.0;
+                for (size_t j = 0; j < n_cols; j++) {
+                    s += src[j];
+                    out[j] = (float)src[j];
+                }
+                double mean = s / (double)n_cols;
+                double ss = 0.0;
+                for (size_t j = 0; j < n_cols; j++) {
+                    double d = src[j] - mean;
+                    ss += d * d;
+                }
+                mave[r + i] = mean;
+                sumsq[r + i] = ss;
+            }
+        }
+        ::close(fd);
+    };
+
+    if (nthreads <= 1) {
+        work(0, 0, n_rows);
+    } else {
+        for (size_t t = 0; t < nthreads; t++) {
+            size_t lo = t * per_rows;
+            size_t hi = std::min(n_rows, lo + per_rows);
+            if (lo >= hi) break;
+            threads.emplace_back(work, t, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+    for (size_t t = 0; t < oks.size(); t++) {
+        if (!oks[t]) { *err = errs[t]; return false; }
+    }
+    return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -217,6 +289,41 @@ static PyObject* py_read_f64_as_f32(PyObject*, PyObject* args) {
         return nullptr;
     }
     return PyLong_FromSize_t(n);
+}
+
+static PyObject* py_read_f64_as_f32_stats(PyObject*, PyObject* args) {
+    const char* path;
+    Py_buffer view, mview, sview;
+    unsigned long long offset, n_cols;
+    if (!PyArg_ParseTuple(args, "sw*KKw*w*", &path, &view, &offset, &n_cols,
+                          &mview, &sview))
+        return nullptr;
+    bool shape_ok = n_cols > 0 && view.len % (4 * n_cols) == 0;
+    size_t n_rows = shape_ok ? (size_t)view.len / (4 * n_cols) : 0;
+    if (!shape_ok || (size_t)mview.len != n_rows * 8 ||
+        (size_t)sview.len != n_rows * 8) {
+        PyBuffer_Release(&view);
+        PyBuffer_Release(&mview);
+        PyBuffer_Release(&sview);
+        PyErr_SetString(PyExc_ValueError,
+                        "buffers must be (rows*n_cols) f32 and rows f64");
+        return nullptr;
+    }
+    std::string err;
+    bool ok;
+    Py_BEGIN_ALLOW_THREADS
+    ok = parallel_read_f64_as_f32_stats(
+        path, (float*)view.buf, n_rows, (size_t)n_cols, (off_t)offset,
+        (double*)mview.buf, (double*)sview.buf, &err);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&view);
+    PyBuffer_Release(&mview);
+    PyBuffer_Release(&sview);
+    if (!ok) {
+        PyErr_SetString(PyExc_OSError, err.c_str());
+        return nullptr;
+    }
+    return PyLong_FromSize_t(n_rows);
 }
 
 static PyObject* py_write_from(PyObject*, PyObject* args) {
@@ -323,6 +430,10 @@ static PyMethodDef Methods[] = {
     {"read_f64_as_f32", py_read_f64_as_f32, METH_VARARGS,
      "read_f64_as_f32(path, f32_buffer, file_byte_offset) -> count.\n"
      "Stream float64 file data into a float32 buffer, converting in-flight."},
+    {"read_f64_as_f32_stats", py_read_f64_as_f32_stats, METH_VARARGS,
+     "read_f64_as_f32_stats(path, f32_buf, byte_offset, n_cols, mave_f64_buf,"
+     " sumsq_f64_buf) -> rows.\n"
+     "Fused streamed ingest + per-row mean / centered sum of squares."},
     {"write_from", py_write_from, METH_VARARGS,
      "write_from(path, buffer, file_byte_offset) -> bytes written."},
     {"format_csv_row", py_format_csv_row, METH_VARARGS,

@@ -15,9 +15,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 from .config import RunConfig
-from .io.bin_io import read_meth_bin
+from .io.bin_io import read_meth_bin, read_meth_bin_stats
 from .io.phen import Phenotype, read_covariates, read_phen
-from .ops.operator import DesignMatrix, build_design
+from .ops.operator import DesignMatrix, build_design, inv_sd_from_sumsq
 from .sharding import divide_work, pad_to_multiple
 
 
@@ -53,11 +53,24 @@ def load_dataset(
     if c > 0 and cov_file:
         covs = read_covariates(cov_file, c, n)
 
+    low_prec = np.dtype(compute_dtype).itemsize < 8
+
+    def _load(count, start):
+        """(X, stats) — fused native ingest+statistics when the target is a
+        low-precision X (one threaded pass over the f64 file), else the f64
+        read + numpy statistics."""
+        if low_prec:
+            fused = read_meth_bin_stats(meth_file, n, count, start_marker=start)
+            if fused is not None:
+                X, mave, sumsq = fused
+                return X, (mave, inv_sd_from_sumsq(sumsq, n, alpha_scale))
+        return read_meth_bin(meth_file, n, count, start_marker=start), None
+
     if mesh is None or jax.process_count() == 1:
-        X = read_meth_bin(meth_file, n, mt)
+        X, stats = _load(mt, 0)
         dm = build_design(
             X, mesh=mesh, compute_dtype=compute_dtype,
-            alpha_scale=alpha_scale, mt=mt,
+            alpha_scale=alpha_scale, mt=mt, stats=stats,
         )
         return Dataset(dm=dm, phen=phen, covariates=covs)
 
@@ -69,15 +82,27 @@ def load_dataset(
     pidx = jax.process_index()
     lo, hi = pidx * per_proc, (pidx + 1) * per_proc
     real_hi = min(hi, mt)
-    local = np.zeros((per_proc, n), dtype=np.float64)
+    stats = None
     if lo < mt:
-        local[: real_hi - lo] = read_meth_bin(meth_file, n, real_hi - lo, start_marker=lo)
+        rows, st = _load(real_hi - lo, lo)
+        # buffer dtype follows the loader: f32 from the fused native ingest,
+        # f64 otherwise (so numpy statistics stay bit-faithful to the file)
+        local = np.zeros((per_proc, n), dtype=rows.dtype)
+        local[: real_hi - lo] = rows
+        if st is not None:
+            mave_l = np.zeros(per_proc)
+            msig_l = np.zeros(per_proc)
+            mave_l[: real_hi - lo], msig_l[: real_hi - lo] = st
+            stats = (mave_l, msig_l)
+    else:
+        local = np.zeros((per_proc, n), dtype=np.float64)
     # build_design's single-host path can't be used here; construct shards
     # via make_array_from_process_local_data inside build_design_multihost.
     from .ops.operator import build_design_multihost
 
     dm = build_design_multihost(
-        local, lo, mt, m_pad, n, mesh, compute_dtype, alpha_scale
+        local, lo, mt, m_pad, n, mesh, compute_dtype, alpha_scale,
+        stats=stats,
     )
     return Dataset(dm=dm, phen=phen, covariates=covs)
 

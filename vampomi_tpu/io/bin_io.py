@@ -100,6 +100,39 @@ def read_meth_bin(
     return np.asarray(mm, dtype=dt)
 
 
+def read_meth_bin_stats(
+    path: str, n: int, m: int, start_marker: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused load: (m, n) float32 slab PLUS per-marker f64 (mean, centered
+    sum of squares), computed in the same threaded pass over the f64 file.
+
+    The reference computes marker statistics in a separate native pass after
+    the collective read (src/data.cpp:233-283, OpenMP+SIMD); fusing them into
+    the ingest means the matrix is never re-read from host memory.  Returns
+    None when the native runtime is unavailable (callers fall back to
+    read_meth_bin + numpy statistics).
+    """
+    if _native is None or not hasattr(_native, "read_f64_as_f32_stats"):
+        return None
+    offset = start_marker * n * 8
+    need = offset + m * n * 8
+    size = os.path.getsize(path)
+    if size < need:
+        raise ValueError(
+            f"{path}: meth file too small — need {need} bytes for markers "
+            f"[{start_marker}, {start_marker + m}) x N={n} float64, file has "
+            f"{size} (is N or the marker count wrong?)"
+        )
+    X = np.empty((m, n), dtype=np.float32)
+    mave = np.empty(m, dtype=np.float64)
+    sumsq = np.empty(m, dtype=np.float64)
+    _native.read_f64_as_f32_stats(
+        path, memoryview(X.reshape(-1)), offset, n,
+        memoryview(mave), memoryview(sumsq),
+    )
+    return X, mave, sumsq
+
+
 def read_vec_from_text(path: str, count: int, start: int = 0) -> np.ndarray:
     """Whitespace-separated text vector window [start, start+count)
     (reference src/utilities.cpp:104-122)."""

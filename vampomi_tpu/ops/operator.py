@@ -157,6 +157,15 @@ def normal_eq_mult(dm: DesignMatrix, v: jax.Array, tau, gam2) -> jax.Array:
     return tau_c * atx_batch(dm, ax_batch(dm, vc)) + gam2_c * vc
 
 
+def inv_sd_from_sumsq(sumsq: np.ndarray, n: int, alpha_scale: float) -> np.ndarray:
+    """msig = 1/sd^alpha (reference src/data.cpp:270-276) from the centered
+    sum of squares, (n-1) denominator; constant markers get msig = 1."""
+    sumsq = np.asarray(sumsq, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        sd = np.sqrt(sumsq / (n - 1.0))
+        return np.where(sumsq != 0.0, 1.0 / np.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
+
+
 def _host_stats(X_raw: np.ndarray, alpha_scale: float):
     """f64 host-side standardization statistics (bit-faithful regardless of
     the on-device compute dtype)."""
@@ -164,10 +173,7 @@ def _host_stats(X_raw: np.ndarray, alpha_scale: float):
     n = stats.shape[1]
     mave = stats.sum(axis=1) / n
     sumsqr = ((stats - mave[:, None]) ** 2).sum(axis=1)
-    with np.errstate(divide="ignore"):
-        sd = np.sqrt(sumsqr / (n - 1.0))
-        inv = np.where(sumsqr != 0.0, 1.0 / np.where(sd == 0, 1.0, sd) ** alpha_scale, 1.0)
-    return mave, inv
+    return mave, inv_sd_from_sumsq(sumsqr, n, alpha_scale)
 
 
 def _vector_dtype(compute_dtype):
@@ -203,12 +209,17 @@ def build_design(
     compute_dtype=jnp.float32,
     alpha_scale: float = 1.0,
     mt: int | None = None,
+    stats: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DesignMatrix:
     """Construct a (optionally mesh-sharded) DesignMatrix from raw (Mt, N)
     marker-major data.
 
     Pads M up to a multiple of the mesh size; padded markers have msig = 0 and
     mmask = 0 so they contribute exactly nothing to any product or reduction.
+
+    `stats` = precomputed f64 (mave, msig) for the Mt real markers — supplied
+    by the fused native ingest (io/bin_io.py read_meth_bin_stats), which
+    computes them in the same threaded pass that narrows the file to f32.
     """
     X_raw = np.asarray(X_raw)
     Mt_true = int(mt if mt is not None else X_raw.shape[0])
@@ -226,7 +237,11 @@ def build_design(
 
     mave_host = np.zeros((M_pad,), dtype=np.float64)
     msig_host = np.zeros((M_pad,), dtype=np.float64)
-    mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
+    if stats is not None:
+        mave_host[:Mt_true] = stats[0][:Mt_true]
+        msig_host[:Mt_true] = stats[1][:Mt_true]
+    else:
+        mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
     mmask_host = np.zeros((M_pad,), dtype=np.float64)
     mmask_host[:Mt_true] = 1.0
 
@@ -242,18 +257,20 @@ def build_design_multihost(
     mesh: Mesh,
     compute_dtype,
     alpha_scale: float = 1.0,
+    stats: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DesignMatrix:
     """Multi-host construction: each process contributes its contiguous block
     of padded marker rows (marker statistics are per-row, so no cross-host
     reduction is needed — N is always fully local, like the reference's
-    data.cpp:295,342)."""
+    data.cpp:295,342).  `stats` = fused-ingest (mave, msig) for the local
+    rows, as in build_design."""
     from jax.sharding import NamedSharding
 
     per = local_rows.shape[0]
     idx = np.arange(global_start, global_start + per)
     real = idx < mt
 
-    mave_l, msig_l = _host_stats(local_rows, alpha_scale)
+    mave_l, msig_l = stats if stats is not None else _host_stats(local_rows, alpha_scale)
     mave_l = np.where(real, mave_l, 0.0)
     msig_l = np.where(real, msig_l, 0.0)
     mmask_l = real.astype(np.float64)
