@@ -263,3 +263,16 @@ def test_shift_inverse_matches_trace_pass(problem, factor):
     t2 = spectral_traces(factor, dm.mt, tau, gam2)  # L-based fwd-sub path
     np.testing.assert_allclose(float(t1[0]), float(t2[0]), rtol=1e-9)
     np.testing.assert_allclose(float(t1[1]), float(t2[1]), rtol=1e-9)
+
+
+def test_gram_bf16_accuracy(small_fixture):
+    """bf16 X takes the single-pass bf16-MXU gram route; K must agree with
+    the f64 gram to the CLT-averaged weight-rounding level (~1e-3 at this
+    tiny M; shrinks as 1/sqrt(M) at production scale)."""
+    X = small_fixture.X
+    dm64 = build_design(X.T, mesh=None, compute_dtype=jnp.float64)
+    dm16 = build_design(X.T, mesh=None, compute_dtype=jnp.bfloat16)
+    K64 = np.asarray(gram(dm64, block=128))
+    K16 = np.asarray(gram(dm16, block=128), dtype=np.float64)
+    scale = np.linalg.norm(K64)
+    assert np.linalg.norm(K16 - K64) / scale < 2e-3
