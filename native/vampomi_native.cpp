@@ -182,6 +182,7 @@ bool parallel_read_f64_as_f32_stats(const char* path, float* dst,
                                     off_t offset, double* mave, double* sumsq,
                                     std::string* err) {
     if (n_cols == 0) { *err = "n_cols must be positive"; return false; }
+    if (n_rows == 0) return true;  // empty slab: nothing to read or compute
     size_t total_bytes = n_rows * n_cols * 8;
     size_t nthreads = std::min(pick_threads(total_bytes), n_rows);
     size_t per_rows = (n_rows + nthreads - 1) / nthreads;

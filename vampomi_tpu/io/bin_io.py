@@ -63,6 +63,23 @@ def write_bin_slab(path: str, vec: np.ndarray, start: int = 0) -> None:
         os.close(fd)
 
 
+def _check_meth_size(path: str, n: int, m: int, start_marker: int) -> int:
+    """Guard against truncated / wrong-shape meth files up front with a clear
+    message (the reference asserts byte counts after the collective read,
+    src/utilities.cpp:38-46, 373-381; np.memmap's own error is opaque).
+    Returns the byte offset of the slab."""
+    offset = start_marker * n * 8
+    need = offset + m * n * 8
+    size = os.path.getsize(path)
+    if size < need:
+        raise ValueError(
+            f"{path}: meth file too small — need {need} bytes for markers "
+            f"[{start_marker}, {start_marker + m}) x N={n} float64, file has "
+            f"{size} (is N or the marker count wrong?)"
+        )
+    return offset
+
+
 def read_meth_bin(
     path: str, n: int, m: int, start_marker: int = 0, dtype=np.float64
 ) -> np.ndarray:
@@ -75,18 +92,7 @@ def read_meth_bin(
     in-flight — no full-size f64 temporary.
     """
     dt = np.dtype(dtype)
-    offset = start_marker * n * 8
-    # guard against truncated / wrong-shape meth files up front with a clear
-    # message (the reference asserts byte counts after the collective read,
-    # src/utilities.cpp:38-46, 373-381; np.memmap's own error is opaque)
-    need = offset + m * n * 8
-    size = os.path.getsize(path)
-    if size < need:
-        raise ValueError(
-            f"{path}: meth file too small — need {need} bytes for markers "
-            f"[{start_marker}, {start_marker + m}) x N={n} float64, file has "
-            f"{size} (is N or the marker count wrong?)"
-        )
+    offset = _check_meth_size(path, n, m, start_marker)
     if _native is not None:
         if dt == np.float32:
             out = np.empty((m, n), dtype=np.float32)
@@ -114,15 +120,7 @@ def read_meth_bin_stats(
     """
     if _native is None or not hasattr(_native, "read_f64_as_f32_stats"):
         return None
-    offset = start_marker * n * 8
-    need = offset + m * n * 8
-    size = os.path.getsize(path)
-    if size < need:
-        raise ValueError(
-            f"{path}: meth file too small — need {need} bytes for markers "
-            f"[{start_marker}, {start_marker + m}) x N={n} float64, file has "
-            f"{size} (is N or the marker count wrong?)"
-        )
+    offset = _check_meth_size(path, n, m, start_marker)
     X = np.empty((m, n), dtype=np.float32)
     mave = np.empty(m, dtype=np.float64)
     sumsq = np.empty(m, dtype=np.float64)

@@ -98,6 +98,11 @@ class ZarrLiteArray:
         return out
 
     def __getitem__(self, key):
+        # whole-array-read semantics: every access materializes the full
+        # array (the consumer, sim_top_iid, streams one chromosome store at
+        # a time and reads it completely — reference usage is np.array(store),
+        # simulation/sim_top_iid.py:112).  Chunk-selective reads are not
+        # implemented; use the real zarr package for random access.
         return np.asarray(self)[key]
 
     def __len__(self) -> int:

@@ -276,7 +276,7 @@ def _factor_diag(A):
             L, jnp.eye(b, dtype=A.dtype), lower=True
         )
         return L, W
-    h = (b // 2 + 127) // 128 * 128 if b > 256 else b // 2  # lane-aligned split
+    h = (b // 2 + 127) // 128 * 128  # lane-aligned split (b > _FACTOR_BASE here)
     h = min(h, b - 1)
     L11, W11 = _factor_diag(A[:h, :h])
     P = A[h:, :h] @ W11.T
