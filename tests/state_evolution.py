@@ -77,24 +77,37 @@ def posterior_mmse(gam1: float, probs, vars_) -> float:
     return float(val)
 
 
-def lmmse_alpha2_mp(gam2: float, gamw: float, gamma: float, npts: int = 20001) -> float:
-    """alpha2 = gam2/M tr(Q^-1), Q = gamw A^T A + gam2 I_M, in the
-    large-system limit for i.i.d. A with E[A_ij^2] = 1/N; gamma = N/M < 1.
+def lmmse_alpha2_complement_mp(
+    gam2: float, gamw: float, gamma: float, npts: int = 20001
+) -> float:
+    """1 - alpha2 with alpha2 = gam2/M tr(Q^-1), Q = gamw A^T A + gam2 I_M,
+    in the large-system limit for i.i.d. A with E[A_ij^2] = 1/N;
+    gamma = N/M < 1.
 
     A^T A has (M - N) zero modes plus N eigenvalues distributed as
     lam = mu / gamma with mu ~ MP(gamma):  f(mu) = sqrt((b-mu)(mu-a)) /
     (2 pi gamma mu) on [a, b], a = (1-sqrt(gamma))^2, b = (1+sqrt(gamma))^2.
-    """
+
+    Computed as the complement  1 - alpha2 = gamma E[ t / (t + gam2) ],
+    t = gamw mu / gamma, which keeps full RELATIVE accuracy when
+    gamw -> 0 drives alpha2 -> 1 (the probit cold start needs
+    gam1' = gam2 (1-alpha2)/alpha2 to ~1% when 1-alpha2 ~ 1e-6)."""
     a = (1.0 - np.sqrt(gamma)) ** 2
     b = (1.0 + np.sqrt(gamma)) ** 2
-    # open Simpson-type grid avoiding the integrable endpoint singularities
+    # open grid avoiding the integrable endpoint singularities
     mu = np.linspace(a, b, npts)[1:-1]
     f = np.sqrt(np.maximum((b - mu) * (mu - a), 0.0)) / (2.0 * np.pi * gamma * mu)
-    g = 1.0 / (gamw * mu / gamma + gam2)
+    t = gamw * mu / gamma
+    g = t / (t + gam2)
     e_val = np.trapezoid(f * g, mu)
     # f integrates to 1 up to discretization; renormalize to kill O(h) error
     e_val /= np.trapezoid(f, mu)
-    return float((1.0 - gamma) + gamma * gam2 * e_val)
+    return float(gamma * e_val)
+
+
+def lmmse_alpha2_mp(gam2: float, gamw: float, gamma: float, npts: int = 20001) -> float:
+    """alpha2 (see lmmse_alpha2_complement_mp for the math and conditioning)."""
+    return 1.0 - lmmse_alpha2_complement_mp(gam2, gamw, gamma, npts)
 
 
 def se_trajectory(

@@ -1,0 +1,124 @@
+"""Probit (bin_class) state-evolution tracking — the independent oracle for
+the probit ENGINE DYNAMICS (the denoisers themselves are independently
+verified against Bayes quadrature in test_glm_probit; this locks the
+four-half-step wiring, the Onsager/trace terms and the beta/tau recursions
+to first-principles scalar dynamics; see tests/state_evolution_probit.py).
+
+Assertions are layered:
+  * iteration 1 is deterministic (r1 = 0, p1 ~ N(0,1) independent of z0):
+    every params column must hit the SE value;
+  * CONDITIONAL consistency at every iteration: the engine's realized
+    alpha1/beta1/alpha2 must equal the oracle expectations evaluated at the
+    ENGINE's own (gam1, tau1, gam2, tau2) — this isolates the
+    denoiser/LMMSE semantics from trajectory wobble and is tight
+    (Monte-Carlo ~1/sqrt(CM) for alpha1, ~1/sqrt(N) for beta1/alpha2);
+  * the fixed point brackets the SE fixed point loosely (the beta/tau
+    recursions amplify small beta1 differences ~4x near beta1 = 0.78).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vampomi_tpu.config import RunConfig
+from vampomi_tpu.engine.probit import infere_bin_class
+from vampomi_tpu.io.csv_writer import read_positional_csv
+from vampomi_tpu.ops.operator import build_design
+from vampomi_tpu.sim.data_sim import simulate_iid
+
+from tests.state_evolution import lmmse_alpha2_complement_mp, posterior_mmse
+from tests.state_evolution_probit import se_trajectory_probit, z_stage_beta1
+
+N, M = 1536, 24576
+LAM, H2 = 0.01, 0.8
+ITERS = 8
+
+
+@pytest.fixture(scope="module")
+def probit_se_run(tmp_path_factory):
+    fx = simulate_iid(n=N, m=M, lam=LAM, h2=H2, seed=5)
+    cm = int(M * LAM)
+    probs = [1.0 - cm / M, cm / M]
+    vars_beta = [0.0, H2 / cm]
+    rng = np.random.default_rng(11)
+    z = fx.X @ fx.beta
+    vz = float(fx.beta @ fx.beta)
+    ybin = (z + rng.normal(0, 1.0, N) > 0).astype(float)
+
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    cfg = RunConfig(
+        out_dir=str(tmp_path_factory.mktemp("sep")), out_name="sp",
+        model="bin_class", iterations=ITERS, rho=1.0, gam1=1e-6,
+        probs=probs, vars=vars_beta, CG_max_iter=500, CG_err_tol=1e-6,
+        EM_max_iter=1, EM_err_thr=1e-2, learn_vars=1, merge_vars_thr=0.5,
+        stop_criteria_thr=0.0, seed=3, meth_file="x", probit_var=1.0,
+    )
+    infere_bin_class(dm, ybin, cfg, true_signal=fx.beta, write_outputs=True)
+    params = read_positional_csv(os.path.join(cfg.out_dir, "sp_params.csv"))
+    cols = ["alpha1", "beta1", "gam1", "tau1", "alpha2", "beta2", "gam2", "tau2"]
+    engine = [dict(zip(cols, r[1:9])) for r in params]
+
+    vars_internal = [0.0, N * H2 / cm]
+    se = se_trajectory_probit(
+        cfg.gam1, vz, probs, vars_internal, N / M, M / N, ITERS)
+    return engine, se, vz, probs, vars_internal
+
+
+def test_probit_iteration1_matches_se(probit_se_run):
+    engine, se, *_ = probit_se_run
+    e, s = engine[0], se[0]
+    np.testing.assert_allclose(e["alpha1"], s["alpha1"], rtol=2e-3)
+    np.testing.assert_allclose(e["gam2"], s["gam2"], rtol=2e-3)
+    # beta1 over 1536 z-samples of an uninformative init: MC ~ 1/sqrt(N)
+    np.testing.assert_allclose(e["beta1"], s["beta1"], rtol=0.05)
+    np.testing.assert_allclose(e["tau2"], s["tau2"], rtol=0.10)
+    np.testing.assert_allclose(e["alpha2"], s["alpha2"], rtol=0.01)
+    np.testing.assert_allclose(e["beta2"], s["beta2"], rtol=0.15)
+
+
+def test_probit_conditional_semantics_every_iteration(probit_se_run):
+    """At the engine's OWN gammas, the realized expectations must match the
+    Bayes/MP oracles — a misread denoiser/Onsager/trace cannot pass.
+
+    Starts at iteration 3: the p1 entering iteration 2's z-denoiser still
+    mixes in the uninformative N(0,1) init through one LMMSE step, so the
+    SE's Gaussian-error assumption only matures from iteration 3 (measured:
+    beta1 off 6.3% at it 2, <4% from it 3 on)."""
+    engine, _, vz, probs, vars_internal = probit_se_run
+    for t in range(2, ITERS):
+        e = engine[t]
+        # x-denoiser: alpha1 = gam1 * mmse_x(gam1)  (Stein identity)
+        alpha1_pred = e["gam1"] * posterior_mmse(e["gam1"], probs, vars_internal)
+        np.testing.assert_allclose(
+            e["alpha1"], alpha1_pred, rtol=0.20,
+            err_msg=f"it {t+1}: x-denoiser divergence (alpha1)")
+        # z-denoiser: beta1 = E[g1d] at the engine's tau1.  The engine runs
+        # 3-7% BELOW the SE expectation at every settled iteration — the
+        # z-channel error at N=1536 is not yet perfectly Gaussian with
+        # variance exactly 1/tau1 (iteration 1, where the p1 distribution is
+        # known exactly, matches to 4 digits — so the gap is the SE
+        # asymptotics, not the denoiser).  A misread g1d shifts beta1 by
+        # far more than this 10% band.
+        beta1_pred = z_stage_beta1(e["tau1"], vz)
+        np.testing.assert_allclose(
+            e["beta1"], beta1_pred, rtol=0.10,
+            err_msg=f"it {t+1}: z-denoiser divergence (beta1)")
+        # LMMSE: alpha2 at the engine's (gam2, tau2); compare complements —
+        # 1-alpha2 is the physically meaningful small quantity
+        comp_pred = lmmse_alpha2_complement_mp(e["gam2"], e["tau2"], N / M)
+        np.testing.assert_allclose(
+            1.0 - e["alpha2"], comp_pred, rtol=0.10,
+            err_msg=f"it {t+1}: LMMSE/trace divergence (1-alpha2)")
+
+
+def test_probit_fixed_point_brackets_se(probit_se_run):
+    engine, se, *_ = probit_se_run
+    fp = se[-1]
+    tail = engine[4:]
+    mean = {k: float(np.mean([e[k] for e in tail]))
+            for k in ("beta1", "gam2", "tau1")}
+    np.testing.assert_allclose(mean["beta1"], fp["beta1"], rtol=0.10)
+    np.testing.assert_allclose(mean["gam2"], fp["gam2"], rtol=0.20)
+    np.testing.assert_allclose(mean["tau1"], fp["tau1"], rtol=0.30)
