@@ -66,24 +66,42 @@ def _terms(y: jax.Array, gam1, prior: MixturePrior):
 
 def g1(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
     """MMSE posterior-mean denoiser (reference src/vamp.cpp:440-463),
-    vectorized over y (M,), computed in y's dtype."""
+    vectorized over y (M,), computed in y's dtype.
+
+    Algebraically identical to the reference's `y + sigma pk'/pk`, but in
+    the SHRINKAGE form  g1 = y * sum_k w_k v_k/(v_k + sigma)  with posterior
+    weights w_k = z_k / sum z.  The reference form computes y(1 - sigma
+    sum w a) by cancellation: at cold start (gam1 = 1e-6, sigma = 1e6) the
+    true factor ~1e-7 sits BELOW the f32 ulp at 1 and rounds to 0/6e-8 —
+    the shrinkage form carries full relative precision at any sigma."""
     sigma, v, z = _terms(y, gam1, prior)
     pk = jnp.sum(z, axis=1)
-    pkd = -jnp.sum(z / (v + sigma), axis=1) * y
-    val = y + sigma * pkd / jnp.where(pk == 0.0, 1.0, pk)
+    pk_safe = jnp.where(pk == 0.0, 1.0, pk)
+    w = z / pk_safe[:, None]
+    shrink = jnp.sum(w * (v / (v + sigma)), axis=1)
+    val = y * shrink
     return jnp.where(jnp.abs(sigma) < _SIGMA_TINY, y, val)
 
 
 def g1d(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
-    """Derivative of g1 (reference src/vamp.cpp:465-492)."""
+    """Derivative of g1 (reference src/vamp.cpp:465-492), in the stable form
+
+        g1d = sum_k w_k v_k/(v_k+sigma) + sigma y^2 Var_w[1/(v+sigma)]
+
+    (expand 1 + sigma(pkdd/pk - (pkd/pk)^2) with w_k, a_k = 1/(v_k+sigma):
+    the '1 - sigma sum w a' piece is sum_k w_k v_k a_k exactly).  The
+    reference's direct form loses alpha1 entirely in f32 at cold start —
+    alpha1 = mean g1d ~ 4e-8 rounds to 0, making eta1 = gam1/alpha1
+    infinite and NaN-ing the whole trajectory."""
     sigma, v, z = _terms(y, gam1, prior)
-    zv = z / (v + sigma)
+    a = 1.0 / (v + sigma)
     pk = jnp.sum(z, axis=1)
-    pkd = -jnp.sum(zv, axis=1) * y
-    # pkdd = sum_j [ z_j y^2 / (v_j+sigma)^2 - z_j / (v_j+sigma) ]
-    pkdd = jnp.sum(zv / (v + sigma), axis=1) * (y * y) - jnp.sum(zv, axis=1)
     pk_safe = jnp.where(pk == 0.0, 1.0, pk)
-    val = 1.0 + sigma * (pkdd / pk_safe - (pkd / pk_safe) ** 2)
+    w = z / pk_safe[:, None]
+    shrink = jnp.sum(w * (v * a), axis=1)
+    mean_a = jnp.sum(w * a, axis=1)
+    var_a = jnp.sum(w * a * a, axis=1) - mean_a * mean_a
+    val = shrink + sigma * (y * y) * var_a
     return jnp.where(jnp.abs(sigma) < _SIGMA_TINY, jnp.ones_like(y), val)
 
 
