@@ -160,3 +160,26 @@ def test_merge_device_matches_host():
         np.testing.assert_allclose(np.asarray(pd.probs), ph, atol=1e-12)
         np.testing.assert_allclose(np.asarray(pd.vars), vh, atol=1e-12)
         np.testing.assert_array_equal(np.asarray(pd.active), ah)
+
+
+def test_g1d_f32_cold_start_resolves():
+    """Regression: at gam1 = 1e-6 the true g1d ~ 2.5e-8 sits below the f32
+    ulp at 1.0; the reference-form '1 + sigma(...)' cancellation rounded
+    alpha1 to 0 (making eta1 infinite and NaN-ing production runs).  The
+    shrinkage form must carry full relative precision in f32."""
+    import jax.numpy as jnp
+
+    prior = init_prior([0.99, 0.01], [0.0, 0.00030518], 8192)
+    d32 = np.asarray(g1d(jnp.zeros(8, dtype=jnp.float32), 1e-6, prior))
+    d64 = np.asarray(g1d(jnp.zeros(8, dtype=jnp.float64), 1e-6, prior))
+    assert d64[0] > 0
+    np.testing.assert_allclose(d32, d64, rtol=1e-5)
+
+    # nonzero y too, and g1 keeps full precision in the same regime
+    y32 = jnp.full(8, 0.37, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(g1d(y32, 1e-6, prior)),
+        np.asarray(g1d(y32.astype(jnp.float64), 1e-6, prior)), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g1(y32, 1e-6, prior)),
+        np.asarray(g1(y32.astype(jnp.float64), 1e-6, prior)), rtol=1e-4)
