@@ -35,7 +35,8 @@ def log(msg):
 
 
 def pick_shape(dtype, n=8192):
-    """Largest M (multiple of 1024) such that X fits the HBM budget next to
+    """Largest M (multiple of 16384 — make_problem's RNG chunk) such that X
+    fits the HBM budget next to
     the N^2 dense state: the f32 Gram K plus the fused factor pass's four
     N^2 f32 buffers (ops/spectral.py shift_inverse) plus the gram build's
     blocked f32 upcast transients.  bf16 X doubles the marker capacity —
@@ -203,6 +204,9 @@ def main() -> None:
         except Exception as e:  # RESOURCE_EXHAUSTED -> back off 20% and retry
             if "RESOURCE_EXHAUSTED" not in str(e) or m <= 16384:
                 raise
+            # back off by 64k markers per retry (fine steps near the HBM
+            # ceiling; each retry pays full recompiles, so the 0.77 budget
+            # heuristic is tuned to need at most one)
             m = max(m - 4 * 16384, 16384)
             log(f"OOM; retrying with M={m}")
 

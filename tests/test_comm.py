@@ -36,8 +36,15 @@ def collective_shapes(hlo_text: str):
     out = []
     ops = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all")
     for line in hlo_text.splitlines():
-        for op in ops:
-            if f" {op}(" not in line:
+        for base in ops:
+            # async lowering splits collectives into start/done pairs —
+            # match the start form too so an async M-length gather can't
+            # slip past the guard
+            op = next(
+                (f"{base}{s}" for s in ("", "-start") if f" {base}{s}(" in line),
+                None,
+            )
+            if op is None:
                 continue
             head = line.split(f" {op}(")[0]
             shapes = re.findall(r"\w+\[([\d,]*)\]", head)
@@ -55,7 +62,6 @@ def test_ax_single_n_length_allreduce(sharded_dm):
     assert reduces, "sharded ax must all-reduce its N-length partials"
     for op, count in cols:
         assert count <= 2 * N, (op, count)
-        assert op != "all-gather" or count <= 2 * N, (op, count)
 
 
 def test_spectral_iteration_collectives_are_o_n(sharded_dm, mesh8):

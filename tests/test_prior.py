@@ -183,3 +183,25 @@ def test_g1d_f32_cold_start_resolves():
     np.testing.assert_allclose(
         np.asarray(g1(y32, 1e-6, prior)),
         np.asarray(g1(y32.astype(jnp.float64), 1e-6, prior)), rtol=1e-4)
+
+
+def test_g1_pk_underflow_falls_back_to_maxvar_shrinkage():
+    """When every mixture term underflows in f32 (an active component whose
+    prob rounds to 0 at f32 plus huge |y| underflowing the other exponents),
+    the posterior is dominated by the max-variance component: g1 must return
+    y*vmax/(vmax+sigma) (not 0) and g1d its shrinkage factor (not 0)."""
+    import jax.numpy as jnp
+
+    # component 2 has the max variance but a prob below the f32
+    # subnormal floor (~1.4e-45): it casts to exactly 0 in f32, so pk == 0
+    prior = init_prior([0.9, 0.1 - 1e-46, 1e-46], [0.0, 1e-4, 1.0], 100)
+    gam1 = 10.0
+    sigma = 1.0 / gam1
+    vmax = 100.0  # vars are scaled by N=100
+    y = jnp.asarray([3000.0], dtype=jnp.float32)  # underflows comps 0 and 1
+
+    got = float(g1(y, gam1, prior)[0])
+    want = float(y[0]) * vmax / (vmax + sigma)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    d = float(g1d(y, gam1, prior)[0])
+    np.testing.assert_allclose(d, vmax / (vmax + sigma), rtol=1e-4)

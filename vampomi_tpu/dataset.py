@@ -86,9 +86,14 @@ def load_dataset(
     if lo < mt:
         rows, st = _load(real_hi - lo, lo)
         # buffer dtype follows the loader: f32 from the fused native ingest,
-        # f64 otherwise (so numpy statistics stay bit-faithful to the file)
-        local = np.zeros((per_proc, n), dtype=rows.dtype)
-        local[: real_hi - lo] = rows
+        # f64 otherwise (so numpy statistics stay bit-faithful to the file);
+        # pad-free shards (the common case) use the loaded slab directly
+        # instead of doubling peak host memory with a copy
+        if rows.shape[0] == per_proc:
+            local = rows
+        else:
+            local = np.zeros((per_proc, n), dtype=rows.dtype)
+            local[: real_hi - lo] = rows
         if st is not None:
             mave_l = np.zeros(per_proc)
             msig_l = np.zeros(per_proc)

@@ -112,7 +112,13 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
                 "bn,bk->nk", Db, Xb,
                 preferred_element_type=acc_dtype,
             )
-            tb = jnp.einsum("b,bn->n", ub, Xb, preferred_element_type=acc_dtype)
+            # rank-1 correction vector at full precision (mixed f32 x bf16
+            # operands would silently round ub to bf16 at default precision;
+            # an N-matvec per block is negligible next to the N^2 contraction)
+            tb = jnp.einsum(
+                "b,bn->n", ub, Xb, preferred_element_type=acc_dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return Gb, tb
         Xb_acc = Xb.astype(acc_dtype)
         Gb = jnp.einsum(

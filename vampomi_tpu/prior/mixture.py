@@ -79,6 +79,11 @@ def g1(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
     pk_safe = jnp.where(pk == 0.0, 1.0, pk)
     w = z / pk_safe[:, None]
     shrink = jnp.sum(w * (v / (v + sigma)), axis=1)
+    # pk can underflow to 0 in f32 for huge |y| (every stabilized exponent
+    # subnormal); the true posterior is then dominated by the max-variance
+    # component, so fall back to its shrinkage factor rather than 0
+    vmax = jnp.max(jnp.where(prior.active, prior.vars, -jnp.inf)).astype(y.dtype)
+    shrink = jnp.where(pk == 0.0, vmax / (vmax + sigma), shrink)
     val = y * shrink
     return jnp.where(jnp.abs(sigma) < _SIGMA_TINY, y, val)
 
@@ -100,8 +105,16 @@ def g1d(y: jax.Array, gam1, prior: MixturePrior) -> jax.Array:
     w = z / pk_safe[:, None]
     shrink = jnp.sum(w * (v * a), axis=1)
     mean_a = jnp.sum(w * a, axis=1)
-    var_a = jnp.sum(w * a * a, axis=1) - mean_a * mean_a
+    # two-pass variance: the E[a^2]-E[a]^2 form cancels NEGATIVE in f32,
+    # and the sigma y^2 amplifier (1e6 * y^2 at cold start) then drives
+    # alpha1 < 0 -> eta1 < 0 -> clamp collapse (observed at production
+    # scale in the probit engine); sum w (a - mean)^2 is >= 0 by construction
+    var_a = jnp.sum(w * (a - mean_a[:, None]) ** 2, axis=1)
     val = shrink + sigma * (y * y) * var_a
+    # pk underflow: posterior collapses onto the max-variance component
+    # (zero posterior variance across components), matching g1's fallback
+    vmax = jnp.max(jnp.where(prior.active, prior.vars, -jnp.inf)).astype(y.dtype)
+    val = jnp.where(pk == 0.0, vmax / (vmax + sigma), val)
     return jnp.where(jnp.abs(sigma) < _SIGMA_TINY, jnp.ones_like(y), val)
 
 
