@@ -201,7 +201,7 @@ def main() -> None:
         try:
             t_ours, t_ref, t_build = run(m, n, dtype)
             break
-        except Exception as e:  # RESOURCE_EXHAUSTED -> back off 20% and retry
+        except Exception as e:  # RESOURCE_EXHAUSTED -> back off and retry
             if "RESOURCE_EXHAUSTED" not in str(e) or m <= 16384:
                 raise
             # back off by 64k markers per retry (fine steps near the HBM

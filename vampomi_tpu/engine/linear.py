@@ -618,7 +618,9 @@ def infere_linear(
 
             # stopping criterion (src/vamp.cpp:405-423), computed on device
             nmse = float(host["nmse"])
-            _log(verbose, f"x1_hat NMSE = {nmse}")
+            # nmse is inf when x1_hat_prev == 0 (cold start): narrate that
+            # case readably instead of printing "inf"
+            _log(verbose, f"x1_hat NMSE = {nmse if np.isfinite(nmse) else 'n/a (zero previous iterate)'}")
             if it > 1 and nmse < cfg.stop_criteria_thr:
                 _log(verbose, "...stopping criteria fulfilled")
                 break

@@ -456,7 +456,7 @@ def infere_bin_class(
             it_done = it
 
             nmse = float(host["nmse"])
-            _log(verbose, f"x1_hat NMSE = {nmse}")
+            _log(verbose, f"x1_hat NMSE = {nmse if np.isfinite(nmse) else 'n/a (zero previous iterate)'}")
             if it > 1 and nmse < cfg.stop_criteria_thr:
                 _log(verbose, "...stopping criteria fulfilled")
                 break

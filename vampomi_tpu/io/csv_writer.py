@@ -17,7 +17,7 @@ except ImportError:
     _native = None
 
 
-def _is_writer() -> bool:
+def is_writer_process() -> bool:
     """CSV files are written by process 0 only, like the reference's rank-0
     MPI-IO writes (src/utilities.cpp:366-401 guarded by rank checks at the
     call sites, e.g. src/vamp.cpp:388-393) — a shared out_dir must not see
@@ -28,6 +28,9 @@ def _is_writer() -> bool:
         return jax.process_index() == 0
     except Exception:  # jax not initialized yet — single-process tooling
         return True
+
+
+_is_writer = is_writer_process  # backward-compatible alias
 
 
 class PositionalCSV:

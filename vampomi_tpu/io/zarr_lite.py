@@ -46,7 +46,11 @@ class ZarrLiteArray:
         self.shape = tuple(int(s) for s in meta["shape"])
         self.chunks = tuple(int(c) for c in meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
-        self.fill_value = meta.get("fill_value", 0)
+        fv = meta.get("fill_value", 0)
+        # zarr v2 JSON-encodes non-finite float fills as strings
+        if isinstance(fv, str):
+            fv = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}.get(fv, fv)
+        self.fill_value = fv
         self.order = meta.get("order", "C")
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None

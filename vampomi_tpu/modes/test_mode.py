@@ -95,10 +95,10 @@ def run_test_probit(ds: Dataset, cfg: RunConfig) -> list[list[float]]:
     y = ds.phen.y
 
     # probit test csv: rows only, no header (src/main_meth_probit.cpp:106-199)
-    from ..io.csv_writer import _is_writer
+    from ..io.csv_writer import is_writer_process
 
     path = os.path.join(cfg.out_dir, cfg.out_name + "_test.csv")
-    if _is_writer():
+    if is_writer_process():
         if os.path.exists(path):
             os.remove(path)
         open(path, "wb").close()

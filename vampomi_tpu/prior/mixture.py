@@ -260,6 +260,10 @@ def merge_components(
             if not active[k]:
                 continue
             denom = min(vars_[j], vars_[k]) if vars_[j] != 0 else 1e-7
+            if denom == 0.0:
+                # vars_[j] != 0 but vars_[k] == 0: ratio is infinite — never a
+                # merge; skip instead of dividing by zero
+                continue
             if abs(vars_[j] - vars_[k]) / denom < merge_vars_thr:
                 probs[j] += probs[k]
                 probs[k] = 0.0
@@ -282,7 +286,11 @@ def merge_components_device(prior: MixturePrior, merge_vars_thr) -> MixturePrior
             denom = jnp.where(
                 vars_[j] != 0.0, jnp.minimum(vars_[j], vars_[k]), 1e-7
             )
-            do = active[j] & active[k] & (jnp.abs(vars_[j] - vars_[k]) / denom < thr)
+            # denom == 0 (vars_[j] != 0, vars_[k] == 0) means an infinite
+            # ratio — never a merge; divide by a dummy 1.0 to keep the
+            # masked-out lane finite (same host-side semantics)
+            ratio = jnp.abs(vars_[j] - vars_[k]) / jnp.where(denom != 0.0, denom, 1.0)
+            do = active[j] & active[k] & (denom != 0.0) & (ratio < thr)
             probs = probs.at[j].add(jnp.where(do, probs[k], 0.0))
             probs = probs.at[k].set(jnp.where(do, 0.0, probs[k]))
             active = active.at[k].set(jnp.where(do, False, active[k]))

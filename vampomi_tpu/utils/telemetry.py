@@ -52,9 +52,9 @@ class Tracer:
         # trace files are written by process 0 only — concurrent hosts
         # sharing an out_dir must not interleave/duplicate jsonl lines
         # (matches the rank-0 gating of the reference's CSV streams)
-        from ..io.csv_writer import _is_writer
+        from ..io.csv_writer import is_writer_process
 
-        self.path = path if _is_writer() else None
+        self.path = path if is_writer_process() else None
         self.model = model
         self.solver = solver
         self.records: list[IterationTelemetry] = []
