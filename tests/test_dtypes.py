@@ -14,20 +14,20 @@ PROBS3 = [0.9, 0.07, 0.03]
 VARS3 = [0.0, 1e-3, 1e-2]
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.int8])
 def test_operator_low_precision_close_to_f64(small_fixture, dtype):
     X = small_fixture.X
     dm64 = build_design(X.T, compute_dtype=jnp.float64)
     dmlo = build_design(X.T, compute_dtype=dtype)
     assert dmlo.X.dtype == dtype
-    # bf16 X keeps vector math in f32 (work dtype)
-    assert dmlo.wd == (jnp.float32 if dtype == jnp.bfloat16 else dtype)
+    # bf16/int8 X keeps vector math in f32 (work dtype)
+    assert dmlo.wd == (jnp.float32 if dtype in (jnp.bfloat16, jnp.int8) else dtype)
     assert dmlo.mave.dtype == dmlo.wd
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=X.shape[1])
     y = rng.normal(size=X.shape[0])
-    tol = 5e-2 if dtype == jnp.bfloat16 else 1e-3
+    tol = 5e-2 if dtype in (jnp.bfloat16, jnp.int8) else 1e-3
     ref_ax = np.asarray(ax(dm64, jnp.asarray(x)))
     lo_ax = np.asarray(ax(dmlo, jnp.asarray(x, dtype=dmlo.wd)), dtype=np.float64)
     assert np.linalg.norm(lo_ax - ref_ax) / np.linalg.norm(ref_ax) < tol
@@ -36,10 +36,59 @@ def test_operator_low_precision_close_to_f64(small_fixture, dtype):
     assert np.linalg.norm(lo_atx - ref_atx) / np.linalg.norm(ref_atx) < tol
 
 
+def test_int8_quantization_roundtrip(small_fixture):
+    """Affine codes reproduce the raw values to half a quantization step,
+    and the folded standardization vectors make the int8 operator equal the
+    f64 operator OF THE DEQUANTIZED MATRIX (folding is exact algebra)."""
+    from vampomi_tpu.ops.operator import dequantized_stats, quantize_markers
+
+    X = np.asarray(small_fixture.X.T, dtype=np.float64)  # (M, N) marker-major
+    Xq, s, z = quantize_markers(X)
+    deq = s[:, None] * Xq.astype(np.float64) + z[:, None]
+    assert np.all(np.abs(deq - X) <= 0.5 * s[:, None] + 1e-12)
+
+    # constant marker: zero code, exact reconstruction, unit scale
+    Xc = np.vstack([X, np.full((1, X.shape[1]), 0.37)])
+    Xqc, sc, zc = quantize_markers(Xc)
+    assert np.all(Xqc[-1] == 0) and sc[-1] == 1.0 and zc[-1] == 0.37
+
+    # folded operator == f64 operator of the dequantized matrix (the only
+    # remaining error is bf16 rounding of the weight vector + f32 accum)
+    dm8 = build_design(X, compute_dtype=jnp.int8)
+    mave_d, msig_d = dequantized_stats(Xq, s, z, alpha_scale=1.0)
+    A = (deq - mave_d[:, None]) * msig_d[:, None] / np.sqrt(X.shape[1])
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=X.shape[0])
+    got = np.asarray(ax(dm8, jnp.asarray(x, dtype=jnp.float32)), dtype=np.float64)
+    want = A.T @ x
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 5e-3
+    y = rng.normal(size=X.shape[1])
+    got_t = np.asarray(atx(dm8, jnp.asarray(y, dtype=jnp.float32)), dtype=np.float64)
+    want_t = A @ y
+    assert np.linalg.norm(got_t - want_t) / np.linalg.norm(want_t) < 5e-3
+
+    # dequantized standardization is exact: A rows have zero mean, unit sd
+    assert np.abs(A.sum(axis=1)).max() < 1e-9
+    sd = A.std(axis=1, ddof=1) * np.sqrt(X.shape[1])
+    assert np.abs(sd - 1.0).max() < 1e-9
+
+
+def test_int8_gram_close_to_f64(small_fixture):
+    from vampomi_tpu.ops.spectral import gram
+
+    X = small_fixture.X
+    dm64 = build_design(X.T, compute_dtype=jnp.float64)
+    dm8 = build_design(X.T, compute_dtype=jnp.int8)
+    K64 = np.asarray(gram(dm64))
+    K8 = np.asarray(gram(dm8), dtype=np.float64)
+    assert np.linalg.norm(K8 - K64) / np.linalg.norm(K64) < 2e-2
+
+
 @pytest.mark.parametrize("dtype,solver", [
     (jnp.float32, "cg"),
     (jnp.float32, "spectral"),
     (jnp.bfloat16, "spectral"),
+    (jnp.int8, "spectral"),
 ])
 def test_engine_converges_low_precision(small_fixture, tmp_path, dtype, solver):
     """The TPU production dtypes recover the signal like the f64 oracle does."""
@@ -52,6 +101,6 @@ def test_engine_converges_low_precision(small_fixture, tmp_path, dtype, solver):
     )
     res = infere_linear(dm, fx.y, cfg, true_signal=fx.beta, write_outputs=False)
     corr = np.corrcoef(res.x1_hat_scaled, fx.beta)[0, 1]
-    floor = 0.70 if dtype == jnp.bfloat16 else 0.75
+    floor = 0.70 if dtype in (jnp.bfloat16, jnp.int8) else 0.75
     assert corr > floor, f"{dtype} {solver}: corr {corr}"
     assert np.isfinite(res.gamw)

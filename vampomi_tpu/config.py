@@ -69,7 +69,7 @@ class RunConfig:
     # TPU-native extensions (not present in the reference)
     lmmse_solver: str = "auto"    # auto | cg | spectral (ops/spectral.py)
     spectral_max_n: int = 16384   # auto picks spectral only when N <= this
-    compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16
+    compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16 | int8
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
     checkpoint_file: str = ""     # write exact-state .npz after each iteration
     resume_file: str = ""         # resume exactly from a checkpoint .npz
@@ -90,6 +90,10 @@ class RunConfig:
             "f64": jnp.float64,
             "f32": jnp.float32,
             "bf16": jnp.bfloat16,
+            # per-marker affine-quantized design matrix (ops/operator.py
+            # quantize_markers): 1 byte/element doubles markers/chip vs bf16
+            "int8": jnp.int8,
+            "i8": jnp.int8,
         }[self.compute_dtype]
 
     def check(self):

@@ -70,14 +70,33 @@ class DesignMatrix(NamedTuple):
 
     @property
     def wd(self):
-        """Work dtype for vector math: f32 when X is bf16 (bf16 buys HBM
-        bandwidth on the big matrix; the small vectors stay f32)."""
-        return jnp.float32 if self.X.dtype == jnp.bfloat16 else self.X.dtype
+        """Work dtype for vector math: f32 when X is bf16 or int8 (the
+        narrow dtypes buy HBM bandwidth on the big matrix; the small vectors
+        stay f32)."""
+        return (
+            jnp.float32
+            if self.X.dtype in (jnp.bfloat16, jnp.int8)
+            else self.X.dtype
+        )
 
 
 def _accum_dtype(dm: DesignMatrix):
-    # bf16 inputs accumulate in f32 on the MXU; f32/f64 accumulate natively.
-    return jnp.float32 if dm.X.dtype == jnp.bfloat16 else dm.X.dtype
+    # bf16/int8 inputs accumulate in f32 on the MXU; f32/f64 natively.
+    return jnp.float32 if dm.X.dtype in (jnp.bfloat16, jnp.int8) else dm.X.dtype
+
+
+def _mxu_operands(dm: DesignMatrix, w):
+    """(X', w') einsum operands for the fused standardize-matvec.
+
+    int8 X contracts as bf16×bf16→f32: every int8 value in [-127, 127] is
+    EXACTLY representable in bf16 (8-bit mantissa covers ±256), so the cast
+    is lossless and the only rounding is w → bf16 — identical error to the
+    bf16-X path.  Measured ~500 GB/s over the 1-byte elements on v5e
+    (tools/r3_probe.py), i.e. ~1.5× the element rate of bf16 X.
+    """
+    if dm.X.dtype == jnp.int8:
+        return dm.X.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    return dm.X, w.astype(dm.X.dtype)
 
 
 def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
@@ -94,8 +113,9 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     unproven freight.
     """
     w = dm.msig * x.astype(dm.wd)
+    Xo, wo = _mxu_operands(dm, w)
     z = jnp.einsum(
-        "m,mn->n", w.astype(dm.X.dtype), dm.X,
+        "m,mn->n", wo, Xo,
         preferred_element_type=_accum_dtype(dm),
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -109,8 +129,9 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
     Matches reference `data::ATx` (src/data.cpp:315-333).
     """
     yc = y.astype(dm.wd)
+    Xo, yo = _mxu_operands(dm, yc)
     xy = jnp.einsum(
-        "mn,n->m", dm.X, yc.astype(dm.X.dtype),
+        "mn,n->m", Xo, yo,
         preferred_element_type=_accum_dtype(dm),
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -122,8 +143,9 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
     """A @ xs for xs (M_pad, K) → (N, K). Shares the HBM pass over X across
     the K right-hand sides (the multi-RHS CG building block)."""
     w = dm.msig[:, None] * xs.astype(dm.wd)
+    Xo, wo = _mxu_operands(dm, w)
     z = jnp.einsum(
-        "mk,mn->nk", w.astype(dm.X.dtype), dm.X,
+        "mk,mn->nk", wo, Xo,
         preferred_element_type=_accum_dtype(dm),
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -134,8 +156,9 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
 def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
     """A^T @ ys for ys (N, K) → (M_pad, K)."""
     yc = ys.astype(dm.wd)
+    Xo, yo = _mxu_operands(dm, yc)
     xy = jnp.einsum(
-        "mn,nk->mk", dm.X, yc.astype(dm.X.dtype),
+        "mn,nk->mk", Xo, yo,
         preferred_element_type=_accum_dtype(dm),
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -177,7 +200,58 @@ def _host_stats(X_raw: np.ndarray, alpha_scale: float):
 
 
 def _vector_dtype(compute_dtype):
-    return jnp.float32 if jnp.dtype(compute_dtype) == jnp.bfloat16 else jnp.dtype(compute_dtype)
+    d = jnp.dtype(compute_dtype)
+    return jnp.float32 if d in (jnp.bfloat16, jnp.dtype(jnp.int8)) else d
+
+
+def quantize_markers(X_rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-marker affine int8 quantization of raw marker rows.
+
+        X ≈ s[:, None] * Xq + z[:, None],   Xq ∈ [-127, 127]
+
+    with s = range/254 and z the range midpoint (f64, host side).  Constant
+    markers get s = 1, z = value, Xq = 0 — their A rows are exactly zero
+    after standardization, as in the f32/bf16 paths.
+
+    Why affine-per-marker: methylation beta values live in [0, 1] with
+    marker-specific sub-ranges (reference simulation/sim_top_iid.py:8-30),
+    so a per-marker window loses only range/254 ≈ 0.4% of a marker's sd —
+    the same order as rounding X to bf16, but at HALF the bytes: the fused
+    matvec is HBM-bound, so 1-byte elements double markers/chip AND raise
+    the element rate (measured ~500 GB/s = ~1.5× bf16's element rate on
+    v5e).  The affine transform folds EXACTLY into the existing
+    standardization vectors (see build_design), so no operator code paths
+    change: A = msig_eff ∘ (Xq - mave_eff) with msig_eff = msig·s and
+    mave_eff = (mave - z)/s.
+    """
+    X = np.asarray(X_rows, dtype=np.float64)
+    mn = X.min(axis=1)
+    mx = X.max(axis=1)
+    rng = mx - mn
+    s = np.where(rng > 0.0, rng / 254.0, 1.0)
+    z = 0.5 * (mn + mx)
+    Xq = np.clip(
+        np.rint((X - z[:, None]) / s[:, None]), -127, 127
+    ).astype(np.int8)
+    return Xq, s, z
+
+
+def dequantized_stats(
+    Xq: np.ndarray, s: np.ndarray, z: np.ndarray, alpha_scale: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mave, msig) of the DEQUANTIZED values s·Xq + z, computed from the
+    int8 codes alone (no f64 re-materialization): standardizing against the
+    dequantized statistics makes each A row have exactly zero mean and unit
+    sd^alpha for the matrix actually used in the solve."""
+    Xq = np.asarray(Xq)
+    n = Xq.shape[1]
+    qmean = Xq.astype(np.float64).mean(axis=1)
+    qsumsq = ((Xq.astype(np.float64) - qmean[:, None]) ** 2).sum(axis=1)
+    mave = s * qmean + z
+    msig_unit = inv_sd_from_sumsq(qsumsq, n, alpha_scale)  # of Xq itself
+    # sd(s·Xq) = s·sd(Xq): fold s^alpha into the inverse sd
+    msig = np.where(qsumsq != 0.0, msig_unit / s**alpha_scale, 1.0)
+    return mave, msig
 
 
 def _assemble(X_host, mave_host, msig_host, mmask_host, n, mt, mesh, compute_dtype):
@@ -229,19 +303,36 @@ def build_design(
     M_pad = pad_to_multiple(Mt_true, n_shards)
 
     cd = np.dtype(compute_dtype)
+    quant = cd == np.dtype(np.int8)
+    if quant:
+        X_store, qs, qz = quantize_markers(X_raw)
+    else:
+        X_store = X_raw
+
     if M_pad != Mt_true:
         X_host = np.zeros((M_pad, N), dtype=cd)
-        X_host[:Mt_true] = np.asarray(X_raw, dtype=cd)
+        X_host[:Mt_true] = np.asarray(X_store, dtype=cd)
     else:
-        X_host = np.asarray(X_raw, dtype=cd)
+        X_host = np.asarray(X_store, dtype=cd)
 
     mave_host = np.zeros((M_pad,), dtype=np.float64)
     msig_host = np.zeros((M_pad,), dtype=np.float64)
     if stats is not None:
         mave_host[:Mt_true] = stats[0][:Mt_true]
         msig_host[:Mt_true] = stats[1][:Mt_true]
+    elif quant:
+        # statistics of the dequantized values: the stored matrix is then
+        # standardized EXACTLY (zero-mean, unit sd^alpha rows)
+        mave_host[:Mt_true], msig_host[:Mt_true] = dequantized_stats(
+            X_store, qs, qz, alpha_scale
+        )
     else:
         mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
+    if quant:
+        # fold the affine dequantization into the standardization vectors:
+        # msig∘(s·Xq + z - mave) == (msig·s)∘(Xq - (mave - z)/s)
+        mave_host[:Mt_true] = (mave_host[:Mt_true] - qz) / qs
+        msig_host[:Mt_true] = msig_host[:Mt_true] * qs
     mmask_host = np.zeros((M_pad,), dtype=np.float64)
     mmask_host[:Mt_true] = 1.0
 
@@ -270,13 +361,26 @@ def build_design_multihost(
     idx = np.arange(global_start, global_start + per)
     real = idx < mt
 
-    mave_l, msig_l = stats if stats is not None else _host_stats(local_rows, alpha_scale)
+    cd = np.dtype(compute_dtype)
+    vd = np.dtype(_vector_dtype(compute_dtype))
+
+    if cd == np.dtype(np.int8):
+        # per-marker quantization is purely row-local: no cross-host state
+        Xq, qs, qz = quantize_markers(local_rows)
+        if stats is not None:
+            mave_l, msig_l = stats
+        else:
+            mave_l, msig_l = dequantized_stats(Xq, qs, qz, alpha_scale)
+        mave_l = (np.asarray(mave_l, dtype=np.float64) - qz) / qs
+        msig_l = np.asarray(msig_l, dtype=np.float64) * qs
+        local_rows = Xq
+    else:
+        mave_l, msig_l = (
+            stats if stats is not None else _host_stats(local_rows, alpha_scale)
+        )
     mave_l = np.where(real, mave_l, 0.0)
     msig_l = np.where(real, msig_l, 0.0)
     mmask_l = real.astype(np.float64)
-
-    cd = np.dtype(compute_dtype)
-    vd = np.dtype(_vector_dtype(compute_dtype))
 
     def g(local, spec, dtype):
         sh = NamedSharding(mesh, spec)

@@ -96,27 +96,29 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
     G = jnp.zeros((N, N), dtype=acc_dtype)
     t = jnp.zeros((N,), dtype=acc_dtype)
 
-    bf16 = Xl.dtype == jnp.bfloat16
+    narrow = Xl.dtype in (jnp.bfloat16, jnp.int8)
 
     def piece(Xb, w2b, ub):
-        if bf16:
-            # bf16 X: weight one side in bf16 and contract bf16 x bf16 with
-            # f32 accumulation — a SINGLE exact MXU pass (bf16 products are
-            # exact in f32).  The only loss is rounding w*x to bf16, a
-            # zero-mean ~4e-3 per-entry perturbation that averages to
-            # ~4e-3/sqrt(M) ~ 1e-5 on K — below the f32 factor's own noise.
-            # The f32-upcast HIGHEST route costs 6 MXU passes instead
-            # (measured 8 s vs ~1 s for the whole build at M=688k).
-            Db = (w2b[:, None] * Xb.astype(acc_dtype)).astype(jnp.bfloat16)
+        if narrow:
+            # bf16/int8 X: weight one side in bf16 and contract bf16 x bf16
+            # with f32 accumulation — a SINGLE exact MXU pass (bf16 products
+            # are exact in f32; int8 codes are exact IN bf16).  The only loss
+            # is rounding w*x to bf16, a zero-mean ~4e-3 per-entry
+            # perturbation that averages to ~4e-3/sqrt(M) ~ 1e-5 on K —
+            # below the f32 factor's own noise.  The f32-upcast HIGHEST
+            # route costs 6 MXU passes instead (measured 8 s vs ~1 s for
+            # the whole build at M=688k).
+            Xb16 = Xb.astype(jnp.bfloat16) if Xb.dtype == jnp.int8 else Xb
+            Db = (w2b[:, None] * Xb16.astype(acc_dtype)).astype(jnp.bfloat16)
             Gb = jnp.einsum(
-                "bn,bk->nk", Db, Xb,
+                "bn,bk->nk", Db, Xb16,
                 preferred_element_type=acc_dtype,
             )
             # rank-1 correction vector at full precision (mixed f32 x bf16
             # operands would silently round ub to bf16 at default precision;
             # an N-matvec per block is negligible next to the N^2 contraction)
             tb = jnp.einsum(
-                "b,bn->n", ub, Xb, preferred_element_type=acc_dtype,
+                "b,bn->n", ub, Xb16, preferred_element_type=acc_dtype,
                 precision=jax.lax.Precision.HIGHEST,
             )
             return Gb, tb
