@@ -1,0 +1,120 @@
+"""Tests for the once-per-dataset eigendecomposition of the Gram matrix
+(ops/eigen.py) and the eigen-LMMSE solve/trace identities.
+
+The CPU oracle path runs the identical sign-D&C algorithm in f64 and is
+locked against numpy's eigh; the f32 case bounds the working-precision
+error the TPU path will see."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampomi_tpu.ops.eigen import (
+    EigenFactor, build_eigen, eigen_solve, eigen_traces,
+)
+from vampomi_tpu.ops.operator import build_design
+from vampomi_tpu.ops.spectral import GramFactor, build_spectral
+
+
+def _gram(n, m, seed, dtype=jnp.float64, corr=0.0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    if corr > 0:
+        # correlated samples: a few strong factors widen the spectrum the
+        # way real (non-iid) methylation data does
+        F = rng.standard_normal((m, 4))
+        L = rng.standard_normal((4, n))
+        A = A + corr * (F @ L)
+    K = (A.T @ A) / m
+    return GramFactor(K=jnp.asarray(0.5 * (K + K.T), dtype=dtype))
+
+
+@pytest.mark.parametrize("corr", [0.0, 3.0])
+def test_build_eigen_f64_matches_numpy(corr):
+    fac = _gram(n=384, m=1536, seed=0, corr=corr)
+    ef, diag = build_eigen(fac, leaf=64)
+    lam_np = np.linalg.eigvalsh(np.asarray(fac.K))
+    lam = np.asarray(ef.lam)
+    assert lam.shape == (384,)
+    scale = np.abs(lam_np).max()
+    assert np.max(np.abs(np.sort(lam) - lam_np)) / scale < 1e-9
+    assert diag["resid"] < 1e-9
+    assert diag["ortho"] < 1e-10
+    assert diag["splits"] >= 2  # leaf=64 must actually exercise the D&C
+    # U diagonalizes K
+    U = np.asarray(ef.U)
+    H = U.T @ np.asarray(fac.K) @ U
+    assert np.max(np.abs(H - np.diag(lam))) / scale < 1e-9
+
+
+def test_build_eigen_f32_mp_narrow():
+    """The production regime: M >> N gives the tight Marchenko-Pastur bulk
+    (tiny spectral gaps) — the hard case for the sign splits."""
+    fac = _gram(n=256, m=8192, seed=1, dtype=jnp.float32)
+    ef, diag = build_eigen(fac, leaf=64)
+    assert diag["resid"] < 5e-5
+    assert diag["ortho"] < 1e-4
+    lam_np = np.linalg.eigvalsh(np.asarray(fac.K, dtype=np.float64))
+    lam = np.sort(np.asarray(ef.lam))
+    assert np.max(np.abs(lam - lam_np)) / np.abs(lam_np).max() < 1e-4
+
+
+def test_eigen_solve_and_traces_exact_f64(small_fixture):
+    fx = small_fixture
+    dm = build_design(fx.X.T, compute_dtype=jnp.float64)
+    fac = build_spectral(dm)
+    ef, diag = build_eigen(fac, leaf=64)
+    assert diag["resid"] < 1e-9
+
+    n = fac.n
+    mt = float(dm.mt)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(dm.m_pad)
+    tau, gam2 = 7.3, 0.42
+
+    # direct dense oracle in numpy f64
+    K = np.asarray(fac.K)
+    S = gam2 * np.eye(n) + tau * K
+    Sinv = np.linalg.inv(S)
+
+    mu, q = eigen_solve(dm, ef, jnp.asarray(v), tau, gam2)
+    # q = S^{-1} A v
+    from vampomi_tpu.ops.operator import ax as _ax, normal_eq_mult
+
+    av = np.asarray(_ax(dm, jnp.asarray(v)))
+    np.testing.assert_allclose(np.asarray(q), Sinv @ av, rtol=0, atol=1e-9)
+    # mu solves the normal equations
+    lhs = np.asarray(normal_eq_mult(dm, mu, tau, gam2))
+    np.testing.assert_allclose(lhs, v, rtol=0, atol=1e-8)
+
+    tr_qinv, tr_ata = eigen_traces(ef, mt, tau, gam2)
+    lam_np = np.linalg.eigvalsh(K)
+    T = np.sum(1.0 / (gam2 + tau * lam_np))
+    assert abs(float(tr_qinv) - (T + (mt - n) / gam2)) / abs(T) < 1e-10
+    assert abs(float(tr_ata) - (n - gam2 * T) / tau) / n < 1e-10
+
+
+def test_eigen_solve_matches_spectral_winv(small_fixture):
+    """The eigen path and the per-iteration factor path are the same
+    mathematical operator — lock them against each other."""
+    from vampomi_tpu.ops.spectral import shift_inverse, spectral_solve, spectral_traces
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, compute_dtype=jnp.float64)
+    fac = build_spectral(dm)
+    ef, _ = build_eigen(fac, leaf=64)
+
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.standard_normal(dm.m_pad))
+    tau, gam2 = 2.0, 1.3
+    winv = shift_inverse(fac, tau, gam2)
+    mu_s, q_s = spectral_solve(dm, fac, v, tau, gam2, winv=winv)
+    mu_e, q_e = eigen_solve(dm, ef, v, tau, gam2)
+    np.testing.assert_allclose(np.asarray(mu_e), np.asarray(mu_s), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(q_e), np.asarray(q_s), atol=1e-9)
+
+    t_s = spectral_traces(fac, dm.mt, tau, gam2, winv=winv)
+    t_e = eigen_traces(ef, dm.mt, tau, gam2)
+    assert abs(float(t_s[0]) - float(t_e[0])) / abs(float(t_s[0])) < 1e-10
+    assert abs(float(t_s[1]) - float(t_e[1])) / abs(float(t_s[1])) < 1e-10

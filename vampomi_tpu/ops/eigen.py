@@ -1,0 +1,473 @@
+"""Eigen-LMMSE: once-per-dataset spectral decomposition of the Gram matrix.
+
+The Gram matrix K = A A^T is FIXED for the whole run — only the scalar
+shift pair (tau, gam2) of the dual matrix S = gam2 I + tau K moves between
+VAMP iterations.  The spectral path (ops/spectral.py) refactors S every
+iteration: ~2N^3/3 MXU FLOPs, measured 24.5 ms at N=8192 f32 on v5e — the
+replicated Amdahl term that caps projected multi-chip scaling (SCALING.md).
+
+This module instead diagonalizes K ONCE:
+
+    K = U diag(lam) U^T          (U orthonormal, built from matmuls)
+
+after which EVERY per-iteration dense quantity is O(N^2) or closed-form:
+
+    S^{-1} b      = U ((gam2 + tau*lam)^{-1} ∘ (U^T b))   [2 matvecs, ~2.5 ms]
+    tr(S^{-1})    = sum_i 1/(gam2 + tau*lam_i)            [exact, f64]
+    tr(Q^{-1}), tr(A^T A Q^{-1}) via the same counting identities as
+    ops/spectral.py `_trace_closed_forms`.
+
+Why not jnp.linalg.eigh: XLA's TPU eigh is QDWH-based and measured in
+MINUTES at N=4096 on the target platform (unusable).  Why not host LAPACK:
+dsyevd at N=10240 is ~5 minutes on this single-core host.  The builder here
+is a TPU-first algorithm made of large matmuls:
+
+  1. A stochastic Lanczos quadrature pass (one lax.scan of batched
+     matvecs, no reorthogonalization) estimates the spectral CDF — used
+     only to PLAN balanced split points;
+  2. sign-function divide and conquer: for a split sigma, the matrix sign
+     of (sigma I - K)/alpha is computed by a scaled Newton-Schulz cubic
+     iteration (2 matmuls per step; the cubic p(x) = a x - b x^3 is chosen
+     per-step in closed form so the lower spectral bound grows ~2.6x per
+     iteration instead of plain NS's 1.5x), giving spectral projectors
+     P = (I ± sign)/2;
+  3. randomized rangefinders + small host-side Gram eigensolves extract an
+     orthonormal basis of each projector's range; K is compressed and the
+     recursion continues until blocks reach `leaf` size, which a host f64
+     eigh finishes (sub-second at <=768).
+
+Numerical posture: all matmuls run at HIGHEST (full-f32) precision on TPU
+— the same load-bearing choice as ops/spectral.py (bf16-operand matmuls
+measured unsafe there).  Eigenvector error concentrates between
+NEIGHBORING eigenvalues (tiny spectral gaps), which is benign for every
+quantity consumed here: mixing between close eigenvalues perturbs
+U f(lam) U^T only at second order because f is smooth.  The final factor
+always carries a measured Rayleigh residual ||K U - U lam||_F / ||K||_F;
+the engine falls back to the per-iteration factor path when it exceeds
+tolerance.
+
+Reference mapping: replaces the per-iteration CG solves + Hutchinson
+probes of src/vamp.cpp:494-529 and 645-757 (like ops/spectral.py) but with
+an amortized dense build instead of a per-iteration one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operator import DesignMatrix, atx, ax
+from .spectral import GramFactor, _trace_closed_forms
+
+
+class EigenFactor(NamedTuple):
+    """The reusable eigen-LMMSE state.
+
+    U   : (N, N) orthonormal eigenvectors of K (columns, ascending lam),
+          work dtype, replicated.
+    lam : (N,) f64 Rayleigh eigenvalues diag(U^T K U) — exact for the
+          subspaces actually used, so the per-iteration traces are exact
+          closed forms at working precision.
+    """
+
+    U: jax.Array
+    lam: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.U.shape[0]
+
+
+# --------------------------------------------------------------------------
+# small device helpers (eager by design: block shapes vary per recursion
+# node, and per-op dispatch is far cheaper than per-shape jit compiles on
+# the remote-compile TPU platform; the hot fixed-shape pieces are jitted)
+# --------------------------------------------------------------------------
+
+
+def _hp():
+    return jax.default_matmul_precision("highest")
+
+
+@jax.jit
+def _ns_step(X, a, b):
+    """One scaled Newton-Schulz sign step  X <- a X - b X^3  plus the
+    row-sum-of-squares diagnostic diag(X^2) (X symmetric)."""
+    with _hp():
+        X2 = X @ X
+        Xn = a * X - b * (X @ X2)
+    d = jnp.sum(X * X, axis=1)
+    return Xn, d
+
+
+def _ns_coeffs(ell: float) -> tuple[float, float, float]:
+    """Closed-form equioscillating cubic for the sign iteration.
+
+    For spectrum magnitude in [ell, 1], p(x) = a x - b x^3 with
+        xp = sqrt((1 + ell + ell^2) / 3),  a = 3 / (2 xp),  b = a / (1 + ell + ell^2)
+    maps [ell, 1] into [ell', 1] with the peak exactly 1 and
+    p(ell) = p(1) = ell' = a ell - b ell^3 — the growth factor approaches
+    2.6x/step for small ell and reduces to plain Newton-Schulz
+    (a, b) = (1.5, 0.5) at ell = 1.  p has its zero at sqrt(1+ell+ell^2)
+    > 1.0005, so a 10% over-estimate of the scale alpha keeps every
+    eigenvalue strictly inside the sign-preserving region.
+    """
+    s = 1.0 + ell + ell * ell
+    xp = math.sqrt(s / 3.0)
+    a = 1.5 / xp
+    b = a / s
+    ell_new = a * ell - b * ell**3
+    return a, b, min(ell_new, 1.0)
+
+
+def _matrix_sign(Kb, sigma, alpha, ell0, max_iter=40, tol=None):
+    """sign((sigma I - Kb)/alpha) by the scaled NS cubic.
+
+    ell0 is a conservative guess of the smallest |eigenvalue| after
+    scaling; if the true gap at sigma is smaller, the tracked bound is
+    optimistic and the post-loop plain-NS polish (convergence-checked via
+    diag(X^2)) finishes the job.  Unconverged modes sit exactly at the
+    split and are benign (see module docstring).
+    """
+    r = Kb.shape[0]
+    wd = Kb.dtype
+    if tol is None:
+        tol = 3e-4 if wd == jnp.float32 else 1e-10
+    X = (sigma * jnp.eye(r, dtype=wd) - Kb) / jnp.asarray(alpha, dtype=wd)
+    ell = ell0
+    it = 0
+    while ell < 0.92 and it < max_iter:
+        a, b, ell = _ns_coeffs(ell)
+        X, _ = _ns_step(X, jnp.asarray(a, wd), jnp.asarray(b, wd))
+        it += 1
+    # polish with plain NS until diag(X^2) ~ 1
+    while it < max_iter:
+        X, d = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
+        it += 1
+        err = float(jnp.max(jnp.abs(d - 1.0)))
+        if err < tol:
+            break
+    X = 0.5 * (X + X.T)
+    return X
+
+
+def _orth_small(Y, k, passes=2):
+    """Orthonormal (r, k) basis of Y's dominant range via host f64 eigh of
+    the small Gram (rank-deficiency-safe where CholQR is not).  Y must be
+    narrow (<= ~520 columns) — the Gram fetch is then ~1 MB."""
+    for _ in range(passes):
+        with _hp():
+            G = Y.T @ Y
+        Gh = np.asarray(jax.device_get(G), dtype=np.float64)
+        Gh = 0.5 * (Gh + Gh.T)
+        ev, V = np.linalg.eigh(Gh)
+        top = V[:, -k:] / np.sqrt(np.maximum(ev[-k:], 1e-300))
+        with _hp():
+            Y = Y @ jnp.asarray(top, dtype=Y.dtype)
+    return Y
+
+
+def _cholqr2(Y):
+    """Device CholQR, twice (CholQR2: the second pass restores full f32
+    orthogonality).  Valid only for well-conditioned Y — callers keep the
+    chunk width well below the remaining rank so the random-projection
+    Gram stays far from singular."""
+    for _ in range(2):
+        with _hp():
+            G = Y.T @ Y
+        c = G.shape[0]
+        ridge = 1e-7 * jnp.trace(G) / c
+        R = jnp.linalg.cholesky(G + ridge * jnp.eye(c, dtype=G.dtype))
+        Rinv = jax.scipy.linalg.solve_triangular(
+            R, jnp.eye(c, dtype=G.dtype), lower=True
+        )
+        with _hp():
+            Y = Y @ Rinv.T
+    return Y
+
+
+_CHUNK = 448  # device-CholQR chunk width (host finishes the last <=512)
+
+
+def _orth_range(P, k, key):
+    """Orthonormal (r, k) basis of the rank-k range of the (approximate)
+    projector P, by blocked randomized Gram-Schmidt.
+
+    Full-width randomized CholQR is ill-conditioned when the sample count
+    equals the rank (square Gaussian Wishart), and a host eigh of a k x k
+    Gram is unfetchable at k ~ N/2 on the 20 MB/s relay — so the basis is
+    built in _CHUNK-wide slabs (each slab's random projection into the
+    REMAINING range is a fat rectangular Gaussian — well-conditioned for
+    device CholQR2), with the final <=512-wide slab finished by the
+    rank-safe host eigh-of-Gram path."""
+    r = P.shape[0]
+    built: list[jax.Array] = []
+    done = 0
+    while done < k:
+        rest = k - done
+        if rest <= 512:
+            cols = min(rest + 8, r)
+            G = jax.random.normal(key, (r, cols), dtype=P.dtype)
+            key, = jax.random.split(key, 1)
+            with _hp():
+                Y = P @ G
+                for Q in built:
+                    Y = Y - Q @ (Q.T @ Y)
+            Qc = _orth_small(Y, rest, passes=2)
+            # one subspace-iteration polish tightens the range accuracy
+            with _hp():
+                Y2 = P @ Qc
+                for Q in built:
+                    Y2 = Y2 - Q @ (Q.T @ Y2)
+            Qc = _orth_small(Y2, rest, passes=1)
+            built.append(Qc)
+            done = k
+        else:
+            c = min(_CHUNK, rest - 512)  # keep the host slab >= 512 wide? no:
+            c = max(c, 1)
+            G = jax.random.normal(key, (r, c), dtype=P.dtype)
+            key, = jax.random.split(key, 1)
+            with _hp():
+                Y = P @ G
+                for Q in built:
+                    Y = Y - Q @ (Q.T @ Y)
+            Qc = _cholqr2(Y)
+            # re-project: CholQR'd directions can leak out of range(P)
+            with _hp():
+                Y2 = P @ Qc
+                for Q in built:
+                    Y2 = Y2 - Q @ (Q.T @ Y2)
+            Qc = _cholqr2(Y2)
+            built.append(Qc)
+            done += c
+    return built[0] if len(built) == 1 else jnp.concatenate(built, axis=1)
+
+
+def _slq_plan(K, probes=8, steps=80, seed=0):
+    """Spectral-CDF estimate by stochastic Lanczos quadrature (batched
+    scalar Lanczos, no reorthogonalization — ghost eigenvalues only blur
+    the CDF, which is used for split PLANNING, never for results).
+
+    Returns (ritz, weights) — pooled Ritz samples with Gaussian-quadrature
+    weights (each probe's weights sum to 1)."""
+    n = K.shape[0]
+    wd = K.dtype
+    steps = min(steps, n)
+    key = jax.random.PRNGKey(seed)
+    V0 = jax.random.normal(key, (n, probes), dtype=wd)
+    V0 = V0 / jnp.linalg.norm(V0, axis=0)
+
+    @jax.jit
+    def run(Kk, V):
+        # Kk MUST be an argument (closure-captured operands lower as inline
+        # HLO constants and overflow the remote-compile transport)
+        def step(carry, _):
+            Vc, Vp, beta = carry
+            with _hp():
+                W = Kk @ Vc
+            W = W - beta * Vp
+            alph = jnp.sum(Vc * W, axis=0)
+            W = W - alph * Vc
+            beta_n = jnp.linalg.norm(W, axis=0)
+            Vn = W / jnp.where(beta_n > 0, beta_n, 1.0)
+            return (Vn, Vc, beta_n), (alph, beta_n)
+
+        (_, _, _), (alphas, betas) = jax.lax.scan(
+            step, (V, jnp.zeros_like(V), jnp.zeros((probes,), dtype=wd)),
+            None, length=steps,
+        )
+        return alphas, betas
+
+    alphas, betas = run(K, V0)
+    alphas = np.asarray(jax.device_get(alphas), dtype=np.float64)  # (steps, P)
+    betas = np.asarray(jax.device_get(betas), dtype=np.float64)
+
+    import scipy.linalg as sla
+
+    ritz_all, w_all = [], []
+    for p in range(probes):
+        a = alphas[:, p]
+        b = betas[:-1, p]
+        m = steps
+        # a breakdown (beta ~ 0) truncates this probe's quadrature early
+        nz = np.nonzero(b <= 0)[0]
+        if len(nz):
+            m = int(nz[0]) + 1
+        w, V = sla.eigh_tridiagonal(a[:m], b[: m - 1])
+        ritz_all.append(w)
+        w_all.append(V[0] ** 2 / probes)
+    return np.concatenate(ritz_all), np.concatenate(w_all)
+
+
+def _split_sigma(ritz, w, lo, hi):
+    """Weighted-median split point of the estimated spectrum inside
+    (lo, hi); falls back to the midpoint when no samples land there."""
+    m = (ritz > lo) & (ritz < hi)
+    if not np.any(m):
+        return 0.5 * (lo + hi)
+    r, ww = ritz[m], w[m]
+    order = np.argsort(r)
+    cw = np.cumsum(ww[order])
+    j = int(np.searchsorted(cw, 0.5 * cw[-1]))
+    j = min(j, len(r) - 1)
+    return float(r[order][j])
+
+
+def _host_leaf_eigh(Kb):
+    Kh = np.asarray(jax.device_get(Kb), dtype=np.float64)
+    Kh = 0.5 * (Kh + Kh.T)
+    lam, V = np.linalg.eigh(Kh)
+    return lam, V
+
+
+def build_eigen(
+    fac: GramFactor,
+    seed: int = 0,
+    leaf: int = 512,
+    max_depth: int = 60,
+    verbose: bool = False,
+) -> tuple[EigenFactor, dict]:
+    """Diagonalize K = fac.K.  Returns (EigenFactor, diagnostics) with
+    diagnostics = {"resid": Rayleigh residual, "ortho": max |U^T U - I|,
+    "splits": #sign splits, "leaves": #host leaves}.
+
+    Host-driven recursion over device blocks; all large compute is MXU
+    matmuls at HIGHEST precision.  Deterministic for a given (K, seed) —
+    safe to run identically on every process of a multi-host program.
+    """
+    K = fac.K
+    n = fac.n
+    wd = K.dtype
+
+    ritz, w = _slq_plan(K, seed=seed)
+    span = float(ritz.max() - ritz.min()) if len(ritz) else 1.0
+    span = span if span > 0 else 1.0
+    lo0 = float(ritz.min()) - 0.1 * span
+    hi0 = float(ritz.max()) + 0.1 * span
+
+    key = jax.random.PRNGKey(seed + 1)
+    out_cols: list[jax.Array] = []
+    out_lams: list[np.ndarray] = []
+    stats = {"splits": 0, "leaves": 0}
+
+    # explicit stack of (K_block, U_block | None for identity, lo, hi, depth)
+    stack = [(K, None, lo0, hi0, 0)]
+    while stack:
+        Kb, Ub, lo, hi, depth = stack.pop()
+        r = Kb.shape[0]
+
+        width_rel = (hi - lo) / span
+        if r <= leaf or depth >= max_depth or width_rel < 1e-8:
+            lam, V = _host_leaf_eigh(Kb)
+            Vd = jnp.asarray(V, dtype=wd)
+            with _hp():
+                cols = Vd if Ub is None else Ub @ Vd
+            out_cols.append(cols)
+            out_lams.append(lam)
+            stats["leaves"] += 1
+            continue
+
+        sigma = _split_sigma(ritz, w, lo, hi)
+        alpha = 1.1 * max(sigma - lo, hi - sigma)
+        # conservative first guess for the scaled gap at sigma: one mean
+        # spacing of the block's estimated local density
+        ell0 = max(1e-6, min(1e-2, (hi - lo) / (2.0 * alpha * max(r, 2))))
+        X = _matrix_sign(Kb, sigma, alpha, ell0)
+        stats["splits"] += 1
+
+        r1 = int(round(0.5 * (r + float(jnp.trace(X)))))  # eigs BELOW sigma
+        if r1 <= 0 or r1 >= r:
+            # everything on one side: narrow the window and retry
+            if r1 <= 0:
+                lo = sigma
+            else:
+                hi = sigma
+            stack.append((Kb, Ub, lo, hi, depth + 1))
+            continue
+
+        key, k1, k2 = jax.random.split(key, 3)
+        eye_half = 0.5 * jnp.eye(r, dtype=wd)
+        P1 = eye_half + 0.5 * X   # projector onto eigs < sigma
+        P2 = eye_half - 0.5 * X
+
+        Q1 = _orth_range(P1, r1, k1)
+        Q2 = _orth_range(P2, r - r1, k2)
+        with _hp():
+            K1 = Q1.T @ (Kb @ Q1)
+            K2 = Q2.T @ (Kb @ Q2)
+            U1 = Q1 if Ub is None else Ub @ Q1
+            U2 = Q2 if Ub is None else Ub @ Q2
+        K1 = 0.5 * (K1 + K1.T)
+        K2 = 0.5 * (K2 + K2.T)
+        margin = 0.05 * (hi - lo)
+        stack.append((K1, U1, lo, sigma + margin, depth + 1))
+        stack.append((K2, U2, sigma - margin, hi, depth + 1))
+        if verbose:
+            print(f"eigen: split r={r} -> {r1}+{r-r1} at sigma={sigma:.4g} "
+                  f"(depth {depth})", flush=True)
+
+    U = jnp.concatenate(out_cols, axis=1)
+    lam_cat = np.concatenate(out_lams)
+    order = np.argsort(lam_cat, kind="stable")
+    U = U[:, jnp.asarray(order)]
+
+    # Rayleigh refinement + residual diagnostics (one N^3 matmul pair)
+    with _hp():
+        KU = K @ U
+        lam_r = jnp.einsum("ni,ni->i", U, KU)
+        resid = jnp.linalg.norm(KU - U * lam_r[None, :]) / jnp.linalg.norm(K)
+        G = U.T @ U
+    ortho = float(jnp.max(jnp.abs(G - jnp.eye(n, dtype=wd))))
+    lam64 = jnp.asarray(np.asarray(jax.device_get(lam_r), dtype=np.float64))
+    diag = {"resid": float(resid), "ortho": ortho, **stats}
+    return EigenFactor(U=U, lam=lam64), diag
+
+
+# --------------------------------------------------------------------------
+# per-iteration quantities (jit-traceable; tau/gam2 are traced scalars)
+# --------------------------------------------------------------------------
+
+
+def eigen_weights(ef: EigenFactor, tau, gam2):
+    """d_i = 1/(gam2 + tau lam_i) in f64, plus T = sum d (= tr S^{-1})."""
+    tau64 = jnp.asarray(tau, dtype=jnp.float64)
+    gam264 = jnp.asarray(gam2, dtype=jnp.float64)
+    d = 1.0 / (gam264 + tau64 * ef.lam)
+    return d, jnp.sum(d)
+
+
+def eigen_solve(
+    dm: DesignMatrix,
+    ef: EigenFactor,
+    v: jax.Array,
+    tau,
+    gam2,
+    av: jax.Array | None = None,
+):
+    """Exact mu = (tau A^T A + gam2 I)^{-1} v via the eigenbasis (same
+    Woodbury/push-through identities as ops/spectral.py spectral_solve).
+    Returns (mu, q) with q = S^{-1} A v = A mu."""
+    wd = dm.wd
+    tau_c = jnp.asarray(tau).astype(wd)
+    gam2_c = jnp.asarray(gam2).astype(wd)
+    vc = v.astype(wd)
+    if av is None:
+        av = ax(dm, vc)
+    d, _ = eigen_weights(ef, tau, gam2)
+    with _hp():
+        t = ef.U.T @ av.astype(wd)
+        q = ef.U @ (d.astype(wd) * t)
+    mu = (vc - tau_c * atx(dm, q)) / gam2_c
+    return mu, q
+
+
+def eigen_traces(ef: EigenFactor, mt, tau, gam2):
+    """Exact (tr Q^{-1}, tr(A^T A Q^{-1})) over the Mt real markers, f64 —
+    the closed forms of ops/spectral.py spectral_traces with
+    T = sum_i 1/(gam2 + tau lam_i) summed exactly in f64."""
+    _, T = eigen_weights(ef, tau, gam2)
+    return _trace_closed_forms(T, ef.n, mt, tau, gam2)
