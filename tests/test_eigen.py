@@ -118,3 +118,61 @@ def test_eigen_solve_matches_spectral_winv(small_fixture):
     t_e = eigen_traces(ef, dm.mt, tau, gam2)
     assert abs(float(t_s[0]) - float(t_e[0])) / abs(float(t_s[0])) < 1e-10
     assert abs(float(t_s[1]) - float(t_e[1])) / abs(float(t_s[1])) < 1e-10
+
+
+PROBS3 = [0.9, 0.07, 0.03]
+VARS3 = [0.0, 1e-3, 1e-2]
+
+
+def test_engine_eigen_matches_spectral_trajectory(small_fixture, tmp_path):
+    """The eigen engine is the SAME exact algorithm as the spectral engine —
+    f64 trajectories must agree to solver roundoff, iteration by iteration."""
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import infere_linear
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, compute_dtype=jnp.float64)
+    common = dict(
+        out_dir=str(tmp_path), out_name="e", iterations=6, rho=0.5, h2=0.8,
+        gam1=1e-6, probs=list(PROBS3), vars=list(VARS3),
+        stop_criteria_thr=1e-10, seed=7, trace=0,
+    )
+    res_e = infere_linear(dm, fx.y, RunConfig(lmmse_solver="eigen", **common),
+                          true_signal=fx.beta, write_outputs=False)
+    res_s = infere_linear(dm, fx.y, RunConfig(lmmse_solver="spectral", **common),
+                          true_signal=fx.beta, write_outputs=False)
+    assert res_e.iterations_run == res_s.iterations_run
+    for me, ms in zip(res_e.metrics_history, res_s.metrics_history):
+        np.testing.assert_allclose(me, ms, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(res_e.x1_hat_scaled, res_s.x1_hat_scaled, atol=1e-9)
+    assert abs(res_e.gamw - res_s.gamw) / res_s.gamw < 1e-8
+
+
+def test_engine_eigen_shard_invariance(small_fixture, tmp_path, mesh8):
+    """Eigen engine on the 8-device mesh reproduces the single-device run."""
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import infere_linear
+
+    fx = small_fixture
+    common = dict(
+        out_dir=str(tmp_path), out_name="em", iterations=4, rho=0.5, h2=0.8,
+        gam1=1e-6, probs=list(PROBS3), vars=list(VARS3),
+        stop_criteria_thr=1e-10, seed=7, trace=0, lmmse_solver="eigen",
+    )
+    dm1 = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    dm8 = build_design(fx.X.T, mesh=mesh8, compute_dtype=jnp.float64)
+    r1 = infere_linear(dm1, fx.y, RunConfig(**common),
+                       true_signal=fx.beta, write_outputs=False)
+    r8 = infere_linear(dm8, fx.y, RunConfig(**common),
+                       true_signal=fx.beta, write_outputs=False)
+    np.testing.assert_allclose(r8.x1_hat_scaled, r1.x1_hat_scaled, atol=1e-9)
+
+
+def test_auto_solver_upgrades_to_eigen_on_mesh():
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import choose_lmmse_solver
+
+    cfg = RunConfig()
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=8) == "eigen"
+    assert choose_lmmse_solver(cfg, mt=2000, n=300, n_devices=8) == "cg"

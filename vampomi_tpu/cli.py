@@ -80,9 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "f64", "f32", "bf16", "i8"])
     x.add_argument("--seed", type=int, default=0)
     x.add_argument("--lmmse-solver", default="auto",
-                   choices=["auto", "cg", "spectral"],
-                   help="LMMSE solve: CG (reference-parity) or the exact "
-                        "spectral/Woodbury path (ops/spectral.py)")
+                   choices=["auto", "cg", "spectral", "eigen"],
+                   help="LMMSE solve: CG (reference-parity), the exact "
+                        "spectral/Woodbury path (ops/spectral.py), or the "
+                        "eigen path (ops/eigen.py: once-per-dataset "
+                        "diagonalization, O(N^2) per-iteration dense work)")
     x.add_argument("--spectral-max-n", type=int, default=16384,
                    help="auto solver picks spectral only when N <= this")
     x.add_argument("--checkpoint-file", default="",

@@ -37,6 +37,7 @@ from ..sharding import fetch_global
 from ..io.bin_io import iteration_file, write_bin_slab, write_marker_file
 from ..io.csv_writer import PositionalCSV
 from ..ops.cg import cg_solve
+from ..ops.eigen import EigenFactor, build_eigen, eigen_weights
 from ..ops.operator import DesignMatrix, atx, ax, ax_batch
 from ..ops.spectral import (
     GramFactor, build_spectral, default_nb, shift_inverse, spectral_solve,
@@ -327,15 +328,137 @@ def _iteration_phase_spectral(
     )
 
 
-def choose_lmmse_solver(cfg: RunConfig, mt: int, n: int) -> str:
+@jax.jit
+def _iteration_phase_eigen(
+    dm: DesignMatrix,
+    ef: EigenFactor,
+    aty_adj,
+    y_raw,
+    r1,
+    gam1,
+    prior: MixturePrior,
+    x1_hat_prev,
+    damp,
+    rho,
+    gamw,
+    true_signal,
+):
+    """One linear-VAMP iteration with the eigen-LMMSE solver.
+
+    Identical algorithm to `_iteration_phase_spectral` except the dense
+    step: the per-iteration fused factor (ops/spectral.py shift_inverse,
+    ~2N^3/3 MXU FLOPs) is replaced by two N^2 matvecs in the once-per-
+    dataset eigenbasis of K (ops/eigen.py), and both traces become exact
+    f64 closed forms of the eigenvalues.  Replaces the same reference
+    machinery (src/vamp.cpp:494-529, 645-757) at strictly lower
+    per-iteration cost — the design that removes the replicated-dense
+    Amdahl term from multi-chip scaling (SCALING.md).
+    """
+    wd = dm.wd
+    c = lambda s: jnp.asarray(s).astype(wd)  # noqa: E731
+    r1 = r1.astype(wd)
+    x1_hat_prev = x1_hat_prev.astype(wd)
+    y_raw = y_raw.astype(wd)
+    aty_adj = aty_adj.astype(wd)
+    ts = true_signal.astype(wd)
+    sqrt_n_c = c(jnp.sqrt(dm.n))
+
+    # ---------------- denoising (src/vamp.cpp:176-272) ----------------
+    x1_new = g1(r1, gam1, prior)
+    x1_hat = jnp.where(damp, c(rho) * x1_new + c(1.0 - rho) * x1_hat_prev, x1_new)
+
+    alpha1 = (jnp.sum(g1d(r1, gam1, prior) * dm.mmask)).astype(jnp.float64) / dm.mt
+    eta1 = gam1 / alpha1
+
+    gam2 = _clamp(eta1 - gam1)
+    r2 = (c(eta1) * x1_hat - c(gam1) * r1) / c(gam2)
+
+    dev2 = r2 - sqrt_n_c * ts
+    gam2_true = dm.mt / jnp.dot(dev2, dev2).astype(jnp.float64)
+
+    # ---------------- LMMSE, exact, in the eigenbasis ----------------
+    v = c(gamw) * aty_adj + c(gam2) * r2
+    Z = ax_batch(dm, jnp.stack([x1_hat, v], axis=1))
+    z1 = Z[:, 0]
+    av = Z[:, 1]
+    d, T = eigen_weights(ef, gamw, gam2)      # d_i = 1/(gam2 + gamw lam_i)
+    with jax.default_matmul_precision("highest"):
+        q = ef.U @ (d.astype(wd) * (ef.U.T @ av))   # S^{-1} A v == A x2_hat
+    x2_hat = (v - c(gamw) * atx(dm, q)) / c(gam2)
+    z2 = q
+
+    x1_corr, _ = signal_metrics(x1_hat, ts, dm.n)
+    r2_den, corr_y2_den = prediction_metrics(z1, y_raw)
+
+    # exact traces from the eigenvalues (ops/spectral.py counting argument)
+    n64 = jnp.asarray(float(ef.n), dtype=jnp.float64)
+    gam2_64 = jnp.asarray(gam2, dtype=jnp.float64)
+    gamw_64 = jnp.asarray(gamw, dtype=jnp.float64)
+    tr_qinv = T + (dm.mt - n64) / gam2_64
+    tr_ata_qinv = (n64 - gam2_64 * T) / gamw_64
+    alpha2 = gam2 * tr_qinv / dm.mt
+    eta2 = gam2 / alpha2
+    gam1_new = _clamp(eta2 - gam2)
+    gam1_new = rho * gam1_new + (1.0 - rho) * gam1
+    r1_new = (c(eta2) * x2_hat - c(gam2) * r2) / c(gam1_new)
+
+    dev1 = r1_new - sqrt_n_c * ts
+    gam1_true = dm.mt / jnp.dot(dev1, dev1).astype(jnp.float64)
+
+    resid = z2 - y_raw
+    gamw_new = dm.n / (jnp.dot(resid, resid).astype(jnp.float64) + tr_ata_qinv)
+
+    x2_corr, _ = signal_metrics(x2_hat, ts, dm.n)
+    r2_lmmse, corr_y2_lmmse = prediction_metrics(z2, y_raw)
+
+    metrics = jnp.stack(
+        [r2_den, x1_corr, r2_lmmse, x2_corr, corr_y2_den, corr_y2_lmmse]
+    )
+
+    dx = x1_hat - x1_hat_prev
+    denom = jnp.dot(x1_hat_prev, x1_hat_prev).astype(jnp.float64)
+    nmse = jnp.where(
+        denom > 0.0,
+        jnp.sqrt(jnp.dot(dx, dx).astype(jnp.float64) / jnp.where(denom > 0.0, denom, 1.0)),
+        jnp.inf,
+    )
+
+    return dict(
+        nmse=nmse,
+        x1_hat=x1_hat,
+        alpha1=alpha1,
+        eta1=eta1,
+        z1=z1,
+        gam2=gam2,
+        r2=r2,
+        x2_hat=x2_hat,
+        alpha2=alpha2,
+        eta2=eta2,
+        gam1=gam1_new,
+        r1=r1_new,
+        gamw=gamw_new,
+        cg_iters=jnp.asarray(0),
+        cg_rel_err=jnp.zeros((2,), dtype=jnp.float64),
+        metrics=metrics,
+        gam1_true=gam1_true,
+        gam2_true=gam2_true,
+    )
+
+
+def choose_lmmse_solver(cfg: RunConfig, mt: int, n: int, n_devices: int = 1) -> str:
     """Resolve cfg.lmmse_solver: "auto" picks the spectral path when the
-    one-time Gram+eigh build (M·N^2 + N^3 MXU FLOPs, N^2 memory) is clearly
-    amortized by the run — the wide-M regime the framework targets."""
+    one-time Gram build (M·N^2 MXU FLOPs, N^2 memory) is clearly amortized
+    by the run — the wide-M regime the framework targets.  On a multi-chip
+    mesh "auto" upgrades to the eigen path: its per-iteration dense work is
+    two N^2 matvecs instead of the replicated 2N^3/3 factor, which is the
+    Amdahl term that otherwise caps scaling (SCALING.md); the extra
+    once-per-dataset diagonalization (~seconds) amortizes immediately at
+    production iteration counts."""
     s = cfg.lmmse_solver
     if s != "auto":
         return s
     if n <= cfg.spectral_max_n and n >= 2048 and mt >= 4 * n:
-        return "spectral"
+        return "eigen" if n_devices > 1 else "spectral"
     return "cg"
 
 
@@ -446,16 +569,32 @@ def infere_linear(
         out_params = _csv(base + "_params.csv", PARAMS_HEADER)
         out_prior = _csv(base + "_prior.csv", prior_header)
 
-    # LMMSE solver choice (run-level static): exact spectral path or CG
-    solver = choose_lmmse_solver(cfg, Mt, N)
+    # LMMSE solver choice (run-level static): exact spectral/eigen path or CG
+    from jax.sharding import NamedSharding
+
+    n_devices = 1
+    if isinstance(dm.X.sharding, NamedSharding):
+        n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
+    solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
     fac = None
+    ef = None
     aty_adj = jax.jit(atx)(dm, y_adj)  # constant across iterations
-    if solver == "spectral":
+    if solver in ("spectral", "eigen"):
         t_fac = time.time()
         fac = build_spectral(dm)
         jax.block_until_ready(fac.K)
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
+    if solver == "eigen":
+        t_eig = time.time()
+        ef, eig_diag = build_eigen(fac, seed=cfg.seed)
+        _log(verbose, f"eigenbasis of K built in {time.time() - t_eig:.3f}s "
+                      f"(residual {eig_diag['resid']:.2e}, "
+                      f"{eig_diag['splits']} sign splits)")
+        if eig_diag["resid"] > 1e-3:
+            _log(verbose, "eigen residual above tolerance — falling back to the "
+                          "per-iteration factor path")
+            solver, ef = "spectral", None
 
     from ..utils.telemetry import Tracer
 
@@ -537,7 +676,12 @@ def infere_linear(
 
             x1_prev = x1_hat
             r1_in = r1  # the r1 this iteration denoises; dumped to _r1_it_<k>.bin
-            if solver == "spectral":
+            if solver == "eigen":
+                out = _iteration_phase_eigen(
+                    dm, ef, aty_adj, y_raw, r1, gam1, prior, x1_prev,
+                    jnp.asarray(it > 1), rho, gamw, ts,
+                )
+            elif solver == "spectral":
                 out = _iteration_phase_spectral(
                     dm, fac, aty_adj, y_raw, r1, gam1, prior, x1_prev,
                     jnp.asarray(it > 1), rho, gamw, ts,
