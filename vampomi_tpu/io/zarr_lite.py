@@ -54,10 +54,11 @@ class ZarrLiteArray:
         self.order = meta.get("order", "C")
         comp = meta.get("compressor")
         self._comp_id = comp["id"] if comp else None
-        if self._comp_id not in (None, "zlib", "gzip"):
+        if self._comp_id not in (None, "zlib", "gzip", "blosc"):
             raise ValueError(
                 f"{meta_path}: compressor {self._comp_id!r} needs the real "
-                f"zarr package (only null/zlib/gzip decode without it)"
+                f"zarr package (only null/zlib/gzip/blosc(lz4,zlib) decode "
+                f"without it)"
             )
         self._sep = meta.get("dimension_separator", ".")
 
@@ -66,6 +67,12 @@ class ZarrLiteArray:
             return zlib.decompress(raw)
         if self._comp_id == "gzip":
             return gzip.decompress(raw)
+        if self._comp_id == "blosc":
+            # zarr's DEFAULT compressor (numcodecs Blosc, cname lz4 +
+            # byte-shuffle) — decoded in pure Python (io/blosc_lite.py)
+            from .blosc_lite import blosc_decompress
+
+            return blosc_decompress(raw)
         return raw
 
     def _chunk(self, idx: tuple[int, ...]) -> np.ndarray:
