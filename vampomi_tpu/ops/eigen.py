@@ -54,6 +54,8 @@ an amortized dense build instead of a per-iteration one.
 from __future__ import annotations
 
 import math
+import sys
+import time
 from typing import NamedTuple
 
 import jax
@@ -209,8 +211,12 @@ def _orth_range(P, k, key):
     done = 0
     while done < k:
         rest = k - done
-        if rest <= 512:
-            cols = min(rest + 8, r)
+        if rest <= 2 * 512 - 64:
+            # final slab, host-side rank-safe orthonormalization.  The
+            # sample width is FIXED at 968 so the big P @ G and projection
+            # matmuls keep one compile-cache shape; only the tiny final
+            # Y @ top mixing matmul depends on `rest`.
+            cols = min(2 * 512 - 56, r)
             G = jax.random.normal(key, (r, cols), dtype=P.dtype)
             key, = jax.random.split(key, 1)
             with _hp():
@@ -227,9 +233,8 @@ def _orth_range(P, k, key):
             built.append(Qc)
             done = k
         else:
-            c = min(_CHUNK, rest - 512)  # keep the host slab >= 512 wide? no:
-            c = max(c, 1)
-            G = jax.random.normal(key, (r, c), dtype=P.dtype)
+            # full-width device slab: ALWAYS _CHUNK columns (fixed shapes)
+            G = jax.random.normal(key, (r, _CHUNK), dtype=P.dtype)
             key, = jax.random.split(key, 1)
             with _hp():
                 Y = P @ G
@@ -243,78 +248,62 @@ def _orth_range(P, k, key):
                     Y2 = Y2 - Q @ (Q.T @ Y2)
             Qc = _cholqr2(Y2)
             built.append(Qc)
-            done += c
+            done += _CHUNK
     return built[0] if len(built) == 1 else jnp.concatenate(built, axis=1)
 
 
-def _slq_plan(K, probes=8, steps=80, seed=0):
-    """Spectral-CDF estimate by stochastic Lanczos quadrature (batched
-    scalar Lanczos, no reorthogonalization — ghost eigenvalues only blur
-    the CDF, which is used for split PLANNING, never for results).
+@jax.jit
+def _lanczos_step(Kk, Vc, Vp, beta):
+    """One no-reorth batched Lanczos step (fixed shapes; jitted ONCE —
+    a lax.scan formulation measured a ~260 s remote compile on axon).
+    Breakdown (beta == 0) freezes that probe; the host truncates its
+    quadrature at the first zero beta."""
+    with _hp():
+        W = Kk @ Vc
+    W = W - beta * Vp
+    alph = jnp.sum(Vc * W, axis=0)
+    W = W - alph * Vc
+    beta_n = jnp.linalg.norm(W, axis=0)
+    Vn = jnp.where(beta_n > 0, W / jnp.where(beta_n > 0, beta_n, 1.0), Vc)
+    return Vn, alph, beta_n
 
-    Returns (ritz, weights) — pooled Ritz samples with Gaussian-quadrature
-    weights (each probe's weights sum to 1)."""
+
+def _slq_bounds(K, probes=8, steps=64, seed=0):
+    """Spectral-range estimate [lo, hi] by stochastic Lanczos quadrature.
+
+    Lanczos converges the EXTREME eigenvalues fast even without
+    reorthogonalization, so the pooled Ritz extremes bound the true range
+    to well under the 20% safety margin applied by the caller."""
     n = K.shape[0]
     wd = K.dtype
     steps = min(steps, n)
     key = jax.random.PRNGKey(seed)
-    V0 = jax.random.normal(key, (n, probes), dtype=wd)
-    V0 = V0 / jnp.linalg.norm(V0, axis=0)
-
-    @jax.jit
-    def run(Kk, V):
-        # Kk MUST be an argument (closure-captured operands lower as inline
-        # HLO constants and overflow the remote-compile transport)
-        def step(carry, _):
-            Vc, Vp, beta = carry
-            with _hp():
-                W = Kk @ Vc
-            W = W - beta * Vp
-            alph = jnp.sum(Vc * W, axis=0)
-            W = W - alph * Vc
-            beta_n = jnp.linalg.norm(W, axis=0)
-            Vn = W / jnp.where(beta_n > 0, beta_n, 1.0)
-            return (Vn, Vc, beta_n), (alph, beta_n)
-
-        (_, _, _), (alphas, betas) = jax.lax.scan(
-            step, (V, jnp.zeros_like(V), jnp.zeros((probes,), dtype=wd)),
-            None, length=steps,
-        )
-        return alphas, betas
-
-    alphas, betas = run(K, V0)
-    alphas = np.asarray(jax.device_get(alphas), dtype=np.float64)  # (steps, P)
-    betas = np.asarray(jax.device_get(betas), dtype=np.float64)
+    V = jax.random.normal(key, (n, probes), dtype=wd)
+    V = V / jnp.linalg.norm(V, axis=0)
+    Vp = jnp.zeros_like(V)
+    beta = jnp.zeros((probes,), dtype=wd)
+    alphas, betas = [], []
+    for _ in range(steps):
+        Vn, alph, beta_n = _lanczos_step(K, V, Vp, beta)
+        alphas.append(alph)
+        betas.append(beta_n)
+        Vp, V, beta = V, Vn, beta_n
+    A = np.asarray(jax.device_get(jnp.stack(alphas)), dtype=np.float64)
+    B = np.asarray(jax.device_get(jnp.stack(betas)), dtype=np.float64)
 
     import scipy.linalg as sla
 
-    ritz_all, w_all = [], []
+    ritz_min, ritz_max = np.inf, -np.inf
     for p in range(probes):
-        a = alphas[:, p]
-        b = betas[:-1, p]
+        a, b = A[:, p], B[:-1, p]
         m = steps
-        # a breakdown (beta ~ 0) truncates this probe's quadrature early
         nz = np.nonzero(b <= 0)[0]
         if len(nz):
             m = int(nz[0]) + 1
-        w, V = sla.eigh_tridiagonal(a[:m], b[: m - 1])
-        ritz_all.append(w)
-        w_all.append(V[0] ** 2 / probes)
-    return np.concatenate(ritz_all), np.concatenate(w_all)
-
-
-def _split_sigma(ritz, w, lo, hi):
-    """Weighted-median split point of the estimated spectrum inside
-    (lo, hi); falls back to the midpoint when no samples land there."""
-    m = (ritz > lo) & (ritz < hi)
-    if not np.any(m):
-        return 0.5 * (lo + hi)
-    r, ww = ritz[m], w[m]
-    order = np.argsort(r)
-    cw = np.cumsum(ww[order])
-    j = int(np.searchsorted(cw, 0.5 * cw[-1]))
-    j = min(j, len(r) - 1)
-    return float(r[order][j])
+        w = sla.eigh_tridiagonal(a[:m], b[: m - 1], eigvals_only=True)
+        ritz_min = min(ritz_min, float(w[0]))
+        ritz_max = max(ritz_max, float(w[-1]))
+    return ritz_min, ritz_max
 
 
 def _host_leaf_eigh(Kb):
@@ -327,7 +316,7 @@ def _host_leaf_eigh(Kb):
 def build_eigen(
     fac: GramFactor,
     seed: int = 0,
-    leaf: int = 512,
+    leaf: int = 1024,
     max_depth: int = 60,
     verbose: bool = False,
 ) -> tuple[EigenFactor, dict]:
@@ -338,61 +327,108 @@ def build_eigen(
     Host-driven recursion over device blocks; all large compute is MXU
     matmuls at HIGHEST precision.  Deterministic for a given (K, seed) —
     safe to run identically on every process of a multi-host program.
+
+    Two choices here exist purely because of the axon REMOTE-COMPILE cost
+    model (each new op shape is a multi-second compile):
+
+    * split points are the block's exact trace-mean (one scalar fetch) —
+      self-balancing and free — instead of estimated spectral medians;
+    * every child block is PADDED up to a multiple of `leaf` with a
+      far-above-the-spectrum diagonal (pad directions are exact eigenpairs
+      of the padded block, their accumulated-U columns are exactly zero,
+      and leaves drop everything above `pad_thr`), so block dimensions
+      take at most N/leaf distinct values and the big-matmul compile cache
+      hits across the whole tree and across runs.
     """
     K = fac.K
     n = fac.n
     wd = K.dtype
 
-    ritz, w = _slq_plan(K, seed=seed)
-    span = float(ritz.max() - ritz.min()) if len(ritz) else 1.0
-    span = span if span > 0 else 1.0
-    lo0 = float(ritz.min()) - 0.1 * span
-    hi0 = float(ritz.max()) + 0.1 * span
+    def vlog(msg):
+        if verbose:
+            print(f"eigen[{time.time() - t_start:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    t_start = time.time()
+    quant = leaf
+    lo_r, hi_r = _slq_bounds(K, seed=seed)
+    vlog(f"slq bounds done [{lo_r:.4g}, {hi_r:.4g}]")
+    span = hi_r - lo_r if hi_r > lo_r else max(abs(hi_r), 1.0)
+    lo0 = lo_r - 0.2 * span
+    hi0 = hi_r + 0.2 * span
+    pad_val = hi0 + 1.0 * span
+    pad_thr = hi0 + 0.5 * span
 
     key = jax.random.PRNGKey(seed + 1)
     out_cols: list[jax.Array] = []
     out_lams: list[np.ndarray] = []
     stats = {"splits": 0, "leaves": 0}
 
-    # explicit stack of (K_block, U_block | None for identity, lo, hi, depth)
-    stack = [(K, None, lo0, hi0, 0)]
-    while stack:
-        Kb, Ub, lo, hi, depth = stack.pop()
-        r = Kb.shape[0]
+    def _pad_block(Kc, Uc, r_used):
+        """Embed an r_used-dimensional compressed child into a quantized
+        (rq x rq) block: zero columns in U, pad*I tail in K."""
+        rq = ((r_used + quant - 1) // quant) * quant
+        if rq == r_used:
+            return Kc, Uc
+        padc = rq - r_used
+        Kp = jnp.zeros((rq, rq), dtype=wd)
+        Kp = Kp.at[:r_used, :r_used].set(Kc)
+        Kp = Kp.at[jnp.arange(r_used, rq), jnp.arange(r_used, rq)].set(
+            jnp.asarray(pad_val, dtype=wd))
+        Up = jnp.concatenate(
+            [Uc, jnp.zeros((Uc.shape[0], padc), dtype=wd)], axis=1)
+        return Kp, Up
 
-        width_rel = (hi - lo) / span
-        if r <= leaf or depth >= max_depth or width_rel < 1e-8:
+    # stack entries: (K_block, U_block | None, lo, hi, npad, depth);
+    # lo/hi bound the block's REAL spectrum; npad trailing pad eigenvalues
+    # (always at pad_val) ride along in the high-side children.
+    stack = [(K, None, lo0, hi0, 0, 0)]
+    while stack:
+        Kb, Ub, lo, hi, npad, depth = stack.pop()
+        r = Kb.shape[0]
+        r_real = r - npad
+
+        if r <= leaf or depth >= max_depth or (hi - lo) / span < 1e-8:
             lam, V = _host_leaf_eigh(Kb)
-            Vd = jnp.asarray(V, dtype=wd)
+            realm = lam < pad_thr
+            lam = lam[realm]
+            Vd = jnp.asarray(V[:, realm], dtype=wd)
             with _hp():
                 cols = Vd if Ub is None else Ub @ Vd
             out_cols.append(cols)
             out_lams.append(lam)
             stats["leaves"] += 1
+            vlog(f"leaf r={r} ({len(lam)} real) done")
             continue
 
-        sigma = _split_sigma(ritz, w, lo, hi)
-        alpha = 1.1 * max(sigma - lo, hi - sigma)
+        # exact trace-mean of the REAL spectrum: balanced for bulk spectra,
+        # self-correcting for outlier-heavy ones (outliers split off fast)
+        tr = float(jnp.trace(Kb))
+        sigma = (tr - npad * pad_val) / r_real
+        sigma = min(max(sigma, lo + 1e-6 * span), hi - 1e-6 * span)
+        hi_eff = max(hi, pad_val + 0.05 * span) if npad else hi
+        alpha = 1.1 * max(sigma - lo, hi_eff - sigma)
         # conservative first guess for the scaled gap at sigma: one mean
-        # spacing of the block's estimated local density
-        ell0 = max(1e-6, min(1e-2, (hi - lo) / (2.0 * alpha * max(r, 2))))
+        # spacing of the block's real density
+        ell0 = max(1e-6, min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
         X = _matrix_sign(Kb, sigma, alpha, ell0)
         stats["splits"] += 1
+        vlog(f"sign r={r} done (sigma={sigma:.4g})")
 
         r1 = int(round(0.5 * (r + float(jnp.trace(X)))))  # eigs BELOW sigma
-        if r1 <= 0 or r1 >= r:
-            # everything on one side: narrow the window and retry
+        if r1 <= 0 or r1 >= r_real:
+            # every real eigenvalue on one side: narrow the window and retry
             if r1 <= 0:
                 lo = sigma
             else:
                 hi = sigma
-            stack.append((Kb, Ub, lo, hi, depth + 1))
+            stack.append((Kb, Ub, lo, hi, npad, depth + 1))
             continue
 
         key, k1, k2 = jax.random.split(key, 3)
         eye_half = 0.5 * jnp.eye(r, dtype=wd)
         P1 = eye_half + 0.5 * X   # projector onto eigs < sigma
-        P2 = eye_half - 0.5 * X
+        P2 = eye_half - 0.5 * X   # eigs > sigma, including the pads
 
         Q1 = _orth_range(P1, r1, k1)
         Q2 = _orth_range(P2, r - r1, k2)
@@ -404,14 +440,21 @@ def build_eigen(
         K1 = 0.5 * (K1 + K1.T)
         K2 = 0.5 * (K2 + K2.T)
         margin = 0.05 * (hi - lo)
-        stack.append((K1, U1, lo, sigma + margin, depth + 1))
-        stack.append((K2, U2, sigma - margin, hi, depth + 1))
-        if verbose:
-            print(f"eigen: split r={r} -> {r1}+{r-r1} at sigma={sigma:.4g} "
-                  f"(depth {depth})", flush=True)
+        K1, U1 = _pad_block(K1, U1, r1)
+        K2, U2 = _pad_block(K2, U2, r - r1)
+        stack.append((K1, U1, lo, sigma + margin,
+                      K1.shape[0] - r1, depth + 1))
+        stack.append((K2, U2, sigma - margin, hi,
+                      K2.shape[0] - (r - r1) + npad, depth + 1))
+        vlog(f"split r={r} -> {r1}+{r-r1} (depth {depth})")
 
     U = jnp.concatenate(out_cols, axis=1)
     lam_cat = np.concatenate(out_lams)
+    if U.shape[1] != n or len(lam_cat) != n:
+        raise RuntimeError(
+            f"eigen build lost dimensions: {U.shape[1]} vs N={n} "
+            f"(pad bookkeeping bug or real eigenvalue above pad_thr)"
+        )
     order = np.argsort(lam_cat, kind="stable")
     U = U[:, jnp.asarray(order)]
 
