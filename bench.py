@@ -1,27 +1,43 @@
 """Benchmark: full VAMP iteration rate on the local chip.
 
 Measures the framework's production path — one complete linear-gVAMP
-iteration (mixture denoiser + EM-ready reductions + exact Gram/Woodbury
-LMMSE solve + exact Onsager/noise traces + metrics; engine/linear.py
-`_iteration_phase_spectral`) — at the largest marker count that fits the
-chip's HBM with N = 8192 samples, i.e. the BASELINE.json north-star
-workload shape ("VAMP iterations/s at N~1e4, M~1e6") scaled to one chip.
+iteration (mixture denoiser + EM-ready reductions + exact LMMSE solve +
+exact Onsager/noise traces + metrics) — at the LITERAL north-star workload
+shape (BASELINE.json: "VAMP iterations/s at N~1e4, M~1e6"):
+
+    M >= 1e6 markers x N = 10240 samples on one chip, int8 design matrix
+    (per-marker affine quantization, ops/operator.py quantize_markers —
+    1 byte/element; f32 would need 40 GB, bf16 20 GB, int8 ~10 GB of HBM),
+    eigen-LMMSE solver (ops/eigen.py: once-per-dataset diagonalization of
+    the Gram matrix; per-iteration dense work is two N^2 matvecs).
 
 vs_baseline = (time of the reference-structured algorithm on the SAME
 chip) / (our time).  The reference algorithm is Jacobi-preconditioned CG
-at the reference's own defaults (CG_max_iter=500, tol=1e-5,
-src/options.hpp:83-84) with warm start plus the Hutchinson Onsager/trace
-probe — implemented as our `_iteration_phase`, whose matvec kernel already
-runs at ~84% of HBM speed-of-light (see ops/operator.py).  So vs_baseline
-is the honest per-iteration algorithmic speedup over the reference on
-identical silicon; the reference itself publishes no numbers (BASELINE.md).
+at the reference's defaults (CG_max_iter=500, src/options.hpp:83-84) with
+warm start plus the Hutchinson Onsager/trace probe — implemented as our
+`_iteration_phase`, whose matvec kernel runs at HBM speed-of-light
+fractions (ops/operator.py).  The narrow-int8 operands floor the CG
+residual near 1e-3, so the baseline stops at tol 1e-3 (earlier than the
+reference's 1e-5 asks — vs_baseline is conservative).  The reference
+itself publishes no numbers (BASELINE.md).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line:
+  {"metric", "value", "unit", "vs_baseline", "matvec_gbps", "dense_ms"}
+matvec_gbps is the BASELINE.json "LMMSE matvec GB/s/chip" north star
+(bytes of X read per wall second during one A^T A v);  dense_ms is the
+per-iteration dense (non-X) cost — the term that caps multi-chip scaling
+(SCALING.md).
+
+Env overrides: VAMPOMI_BENCH_DTYPE=float32|bfloat16 runs the r01/r02-
+comparable configuration (N=8192, spectral per-iteration factor) so the
+cross-round series stays interpretable; BENCH_F32_COMPANION.json records
+one such run per round.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,54 +50,64 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def pick_shape(dtype, n=8192):
+def pick_shape(dtype):
     """Largest M (multiple of 16384 — make_problem's RNG chunk) such that X
-    fits the HBM budget next to
-    the N^2 dense state: the f32 Gram K plus the fused factor pass's four
-    N^2 f32 buffers (ops/spectral.py shift_inverse) plus the gram build's
-    blocked f32 upcast transients.  bf16 X doubles the marker capacity —
-    the north-star configuration (BASELINE.md: N~1e4, M~1e6)."""
+    plus the dense state (K, U, and the eigen build's ~5 N^2 f32
+    transients) fits HBM.  int8 X at N=10240 reaches the literal
+    north-star M >= 1e6 on a single 16 GB chip."""
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit", 16 * 2**30)
     except Exception:
         limit = 16 * 2**30
     itemsize = jnp.dtype(dtype).itemsize
-    budget = int(limit * 0.77) - 7 * n * n * 4
+    if dtype == jnp.int8:
+        n = 10240
+        budget = int(limit) - int(4.5e9)  # K+U+build transients+margin
+    else:
+        n = 8192
+        budget = int(limit * 0.77) - 7 * n * n * 4
     m = max(budget // (n * itemsize), 16384) // 16384 * 16384
-    return int(min(m, 1_048_576)), n
+    return int(min(m, 1_310_720)), n
 
 
 def make_problem(m, n, dtype):
     from vampomi_tpu.ops.operator import DesignMatrix
     from vampomi_tpu.prior.mixture import init_prior
 
-    wd = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    wd = jnp.float32 if dtype in (jnp.bfloat16, jnp.int8) else dtype
     key = jax.random.PRNGKey(0)
     kx, ky, kr = jax.random.split(key, 3)
 
     # generate X in marker chunks under lax.scan so the RNG's internal
     # full-precision transient never exceeds one chunk (a single
-    # jax.random.normal at (m, n) would spike ~2x the X footprint)
+    # jax.random call at (m, n) would spike ~4x the int8 X footprint)
     chunk = 16384
     assert m % chunk == 0 or m < chunk
+
+    def gen_chunk(kk):
+        if dtype == jnp.int8:
+            # synthetic already-quantized codes (uniform over the affine
+            # range); msig below folds the 1/sd like quantize_markers does
+            return jax.random.randint(kk, (chunk, n), -127, 128, dtype=jnp.int8)
+        return jax.random.normal(kk, (chunk, n), dtype=dtype)
+
     if m <= chunk:
-        X = jax.random.normal(kx, (m, n), dtype=dtype)
+        X = gen_chunk(kx)
     else:
         @jax.jit
         def gen(k):
             ks = jax.random.split(k, m // chunk)
-            _, out = jax.lax.scan(
-                lambda c, kk: (c, jax.random.normal(kk, (chunk, n), dtype=dtype)),
-                0, ks,
-            )
+            _, out = jax.lax.scan(lambda c, kk: (c, gen_chunk(kk)), 0, ks)
             return out.reshape(m, n)
 
         X = gen(kx)
+    # per-marker inverse sd: uniform int8 codes have sd 255/sqrt(12)
+    sig = 1.0 / (255.0 / np.sqrt(12.0)) if dtype == jnp.int8 else 1.0
     dm = DesignMatrix(
         X=X,
         mave=jnp.zeros(m, dtype=wd),
-        msig=jnp.ones(m, dtype=wd),
+        msig=jnp.full((m,), sig, dtype=wd),
         mmask=jnp.ones(m, dtype=wd),
         inv_sqrt_n=jnp.asarray(1.0 / np.sqrt(float(n)), dtype=wd),
         n=jnp.asarray(float(n), dtype=jnp.float64),
@@ -112,11 +138,12 @@ def time_calls(fn, k=5):
 
 def run(m, n, dtype):
     from vampomi_tpu.engine.linear import (
-        _iteration_phase, _iteration_phase_spectral,
+        _iteration_phase, _iteration_phase_eigen, _iteration_phase_spectral,
     )
     from vampomi_tpu.ops.operator import atx, normal_eq_mult
     from vampomi_tpu.ops.spectral import build_spectral
 
+    solver = "eigen" if dtype == jnp.int8 else "spectral"
     dm, y, r1, prior = make_problem(m, n, dtype)
     wd = dm.wd
     gam1 = jnp.asarray(1.0)
@@ -132,35 +159,75 @@ def run(m, n, dtype):
     itemsize = jnp.dtype(dtype).itemsize
     nev = jax.jit(lambda d, v: normal_eq_mult(d, v, gamw, gam1))
     t_mv = time_calls(lambda: nev(dm, r1), k=10)
+    matvec_gbps = 2 * m * n * itemsize / t_mv / 1e9
     log(f"LMMSE matvec (A^T A v): {t_mv*1e3:.2f} ms = "
-        f"{2 * m * n * itemsize / t_mv / 1e9:.0f} GB/s over the "
+        f"{matvec_gbps:.0f} GB/s over the "
         f"{jnp.dtype(dtype).name} X (2 HBM passes)")
 
-    # ---- our path: exact Gram/Woodbury LMMSE ----
+    # ---- our path: exact LMMSE via the Gram eigenbasis (or factor) ----
     t0 = time.perf_counter()
     fac = build_spectral(dm)
     jax.block_until_ready(fac.K)
     t_build = time.perf_counter() - t0
+    log(f"gram build: {t_build:.2f}s (once per dataset)")
     aty = jax.jit(atx)(dm, y)
 
-    def ours():
-        return _iteration_phase_spectral(
-            dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
-        )["x1_hat"]
+    if solver == "eigen":
+        from vampomi_tpu.ops.eigen import build_eigen, eigen_weights
+
+        t0 = time.perf_counter()
+        ef, diag = build_eigen(fac, verbose=True)
+        sync(ef.U)
+        t_eig = time.perf_counter() - t0
+        log(f"eigen build: {t_eig:.1f}s (once per dataset; residual "
+            f"{diag['resid']:.2e}, ortho {diag['ortho']:.2e})")
+        if diag["resid"] > 1e-3:
+            raise RuntimeError(f"eigen residual {diag['resid']} out of spec")
+        del fac
+
+        # dense_ms: the per-iteration non-X dense work in isolation
+        @jax.jit
+        def dense_piece(efv, vv, t, g):
+            d, T = eigen_weights(efv, t, g)
+            with jax.default_matmul_precision("highest"):
+                q = efv.U @ (d.astype(jnp.float32) * (efv.U.T @ vv))
+            return q, T
+
+        t_dense = time_calls(lambda: dense_piece(ef, y, gamw, gam1)[0], k=10)
+        log(f"eigen dense piece (2 N^2 matvecs + traces): {t_dense*1e3:.2f} ms")
+
+        def ours():
+            return _iteration_phase_eigen(
+                dm, ef, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
+            )["x1_hat"]
+    else:
+        from vampomi_tpu.ops.spectral import default_nb, shift_inverse
+
+        @jax.jit
+        def dense_piece(fv, t, g):
+            winv = shift_inverse(fv, t, g, nb=default_nb(n))
+            return winv.W
+
+        t_dense = time_calls(lambda: dense_piece(fac, gamw, gam1), k=5)
+        log(f"factor dense piece (shift_inverse): {t_dense*1e3:.2f} ms")
+
+        def ours():
+            return _iteration_phase_spectral(
+                dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
+            )["x1_hat"]
 
     t_ours = time_calls(ours)
-    log(f"spectral: gram build {t_build:.2f}s (once per dataset), "
-        f"iteration {t_ours*1e3:.1f} ms")
+    log(f"{solver}: iteration {t_ours*1e3:.1f} ms")
 
     # ---- reference-structured path: warm-started CG + Hutchinson probe ----
     key = jax.random.PRNGKey(1)
     bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
     cg_max = jnp.asarray(500)   # reference defaults, src/options.hpp:83-84
-    # reference default tol is 1e-5 (src/options.hpp:84); bf16 operands floor
-    # the achievable residual near 1e-3, so the baseline gets the benefit of
-    # the doubt there (stops earlier than the reference's tolerance asks) —
-    # vs_baseline is conservative at bf16
-    cg_tol = jnp.asarray(1e-5 if dtype != jnp.bfloat16 else 1e-3)
+    # reference default tol is 1e-5 (src/options.hpp:84); narrow (bf16/int8)
+    # operands floor the achievable residual near 1e-3, so the baseline gets
+    # the benefit of the doubt there (stops earlier than the reference's
+    # tolerance asks) — vs_baseline is conservative
+    cg_tol = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-3)
 
     def ref_once(g1v, gwv, mu_warm):
         return _iteration_phase(
@@ -183,29 +250,30 @@ def run(m, n, dtype):
     log(f"cg (reference structure): iteration {t_ref*1e3:.1f} ms "
         f"({cg_iters} warm-started CG iters at tol {float(cg_tol):g})")
 
-    return t_ours, t_ref, t_build
+    return t_ours, t_ref, matvec_gbps, t_dense
 
 
 def main() -> None:
-    # bf16 X (vectors f32) is the production configuration: 2 bytes/element
-    # doubles markers/chip at the same HBM-bound rate.  bf16-vs-f32
-    # trajectory accuracy on this chip is recorded in BF16_ACCURACY.json
-    # (tools/bf16_accuracy.py).  Override with VAMPOMI_BENCH_DTYPE=float32.
-    import os
-
-    dtype = jnp.bfloat16
-    if os.environ.get("VAMPOMI_BENCH_DTYPE") == "float32":
-        dtype = jnp.float32
+    # int8 X (vectors f32) is the capacity configuration: 1 byte/element
+    # reaches the literal north-star M >= 1e6 x N >= 1e4 on one chip.
+    # Trajectory accuracy vs f32 on this chip is recorded in
+    # INT8_ACCURACY.json (tools/int8_accuracy.py); bf16's in
+    # BF16_ACCURACY.json.  Override with VAMPOMI_BENCH_DTYPE.
+    dtype = {
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "int8": jnp.int8,
+    }.get(os.environ.get("VAMPOMI_BENCH_DTYPE", "int8"), jnp.int8)
     m, n = pick_shape(dtype)
     while True:
         try:
-            t_ours, t_ref, t_build = run(m, n, dtype)
+            t_ours, t_ref, matvec_gbps, t_dense = run(m, n, dtype)
             break
         except Exception as e:  # RESOURCE_EXHAUSTED -> back off and retry
             if "RESOURCE_EXHAUSTED" not in str(e) or m <= 16384:
                 raise
             # back off by 64k markers per retry (fine steps near the HBM
-            # ceiling; each retry pays full recompiles, so the 0.77 budget
+            # ceiling; each retry pays full recompiles, so the budget
             # heuristic is tuned to need at most one)
             m = max(m - 4 * 16384, 16384)
             log(f"OOM; retrying with M={m}")
@@ -217,8 +285,11 @@ def main() -> None:
             {
                 "metric": "vamp_iter_per_s",
                 "value": round(1.0 / t_ours, 3),
-                "unit": f"full VAMP iterations/s at M={m}, N={n}",
+                "unit": f"full VAMP iterations/s at M={m}, N={n}, "
+                        f"{jnp.dtype(dtype).name}",
                 "vs_baseline": round(t_ref / t_ours, 3),
+                "matvec_gbps": round(matvec_gbps, 1),
+                "dense_ms": round(t_dense * 1e3, 2),
             }
         )
     )

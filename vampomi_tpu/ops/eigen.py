@@ -354,84 +354,116 @@ def build_eigen(
     lo_r, hi_r = _slq_bounds(K, seed=seed)
     vlog(f"slq bounds done [{lo_r:.4g}, {hi_r:.4g}]")
     span = hi_r - lo_r if hi_r > lo_r else max(abs(hi_r), 1.0)
-    lo0 = lo_r - 0.2 * span
-    hi0 = hi_r + 0.2 * span
-    pad_val = hi0 + 1.0 * span
-    pad_thr = hi0 + 0.5 * span
+    lo0 = lo_r - 0.1 * span
+    hi0 = hi_r + 0.1 * span
 
     key = jax.random.PRNGKey(seed + 1)
     out_cols: list[jax.Array] = []
     out_lams: list[np.ndarray] = []
     stats = {"splits": 0, "leaves": 0}
 
+    # INVARIANT: every block is exactly [real (r_real) ⊕ pad·I (trailing)].
+    # Pads stay coordinate-aligned forever: sign of a block-diagonal matrix
+    # is block-diagonal, so the real-side projectors can be masked exactly,
+    # children compress the REAL part only and re-pad fresh, and leaves
+    # slice the pad tail off without any eigenvalue thresholding.  The pad
+    # diagonal value is chosen PER SIGN CALL just above the block's real
+    # window, so pads never inflate the sign scaling alpha.
     def _pad_block(Kc, Uc, r_used):
-        """Embed an r_used-dimensional compressed child into a quantized
-        (rq x rq) block: zero columns in U, pad*I tail in K."""
         rq = ((r_used + quant - 1) // quant) * quant
         if rq == r_used:
             return Kc, Uc
         padc = rq - r_used
         Kp = jnp.zeros((rq, rq), dtype=wd)
         Kp = Kp.at[:r_used, :r_used].set(Kc)
-        Kp = Kp.at[jnp.arange(r_used, rq), jnp.arange(r_used, rq)].set(
-            jnp.asarray(pad_val, dtype=wd))
         Up = jnp.concatenate(
             [Uc, jnp.zeros((Uc.shape[0], padc), dtype=wd)], axis=1)
         return Kp, Up
 
-    # stack entries: (K_block, U_block | None, lo, hi, npad, depth);
-    # lo/hi bound the block's REAL spectrum; npad trailing pad eigenvalues
-    # (always at pad_val) ride along in the high-side children.
-    stack = [(K, None, lo0, hi0, 0, 0)]
+    # stack entries: (K_block, U_block | None, lo, hi, npad, depth, sigma0);
+    # lo/hi bound the block's REAL spectrum; sigma0 overrides the trace-mean
+    # split point after a one-sided retry (bisection).
+    stack = [(K, None, lo0, hi0, 0, 0, None)]
     while stack:
-        Kb, Ub, lo, hi, npad, depth = stack.pop()
+        Kb, Ub, lo, hi, npad, depth, sigma0 = stack.pop()
         r = Kb.shape[0]
         r_real = r - npad
 
-        if r <= leaf or depth >= max_depth or (hi - lo) / span < 1e-8:
-            lam, V = _host_leaf_eigh(Kb)
-            realm = lam < pad_thr
-            lam = lam[realm]
-            Vd = jnp.asarray(V[:, realm], dtype=wd)
+        if r_real <= leaf or depth >= max_depth or (hi - lo) / span < 1e-8:
+            Kb_real = Kb if npad == 0 else Kb[:r_real, :r_real]
+            lam, V = _host_leaf_eigh(Kb_real)
+            Vd = jnp.asarray(V, dtype=wd)
             with _hp():
-                cols = Vd if Ub is None else Ub @ Vd
+                if Ub is None:
+                    cols = Vd if npad == 0 else jnp.concatenate(
+                        [Vd, jnp.zeros((npad, r_real), dtype=wd)], axis=0)
+                else:
+                    cols = Ub[:, :r_real] @ Vd
             out_cols.append(cols)
             out_lams.append(lam)
             stats["leaves"] += 1
-            vlog(f"leaf r={r} ({len(lam)} real) done")
+            vlog(f"leaf r={r} ({r_real} real) done")
             continue
 
-        # exact trace-mean of the REAL spectrum: balanced for bulk spectra,
-        # self-correcting for outlier-heavy ones (outliers split off fast)
-        tr = float(jnp.trace(Kb))
-        sigma = (tr - npad * pad_val) / r_real
-        sigma = min(max(sigma, lo + 1e-6 * span), hi - 1e-6 * span)
-        hi_eff = max(hi, pad_val + 0.05 * span) if npad else hi
-        alpha = 1.1 * max(sigma - lo, hi_eff - sigma)
+        if sigma0 is not None:
+            sigma = sigma0
+        else:
+            # exact trace-mean of the REAL spectrum (pads contribute zero to
+            # the trace by construction): balanced for bulk spectra, and
+            # self-correcting for outlier-heavy ones (outliers split off
+            # fast, then the remainder re-splits at ITS own mean)
+            sigma = float(jnp.trace(Kb)) / r_real
+            sigma = min(max(sigma, lo + 1e-3 * (hi - lo)),
+                        hi - 1e-3 * (hi - lo))
+        # pads masquerade as real eigenvalues just above the window top
+        pad_here = hi + 0.02 * (hi - lo)
+        if npad:
+            pmask = np.zeros(r, dtype=bool)
+            pmask[r_real:] = True
+            Kb_sign = Kb + jnp.asarray(pad_here * pmask, dtype=wd) * jnp.eye(
+                r, dtype=wd)
+        else:
+            Kb_sign = Kb
+        alpha = 1.1 * max(sigma - lo, max(hi, pad_here if npad else hi) - sigma)
         # conservative first guess for the scaled gap at sigma: one mean
         # spacing of the block's real density
-        ell0 = max(1e-6, min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
-        X = _matrix_sign(Kb, sigma, alpha, ell0)
-        stats["splits"] += 1
-        vlog(f"sign r={r} done (sigma={sigma:.4g})")
+        ell0 = max(1e-7, min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
+        # non-integer sign trace means sigma sits essentially ON an
+        # eigenvalue: nudge and redo (cost: one extra sign run)
+        for attempt in range(3):
+            X = _matrix_sign(Kb_sign, sigma, alpha, ell0)
+            stats["splits"] += 1
+            trX = float(jnp.trace(X))
+            if abs(trX - round(trX)) < 0.25:
+                break
+            sigma = sigma + (0.04 * (attempt + 1)) * (hi - sigma)
+            vlog(f"sign r={r} trace {trX:.2f} non-integer — nudging sigma")
+        vlog(f"sign r={r} done (sigma={sigma:.4g}, trX={trX:.2f})")
 
-        r1 = int(round(0.5 * (r + float(jnp.trace(X)))))  # eigs BELOW sigma
+        r1 = int(round(0.5 * (r + trX)))  # real eigs BELOW sigma
         if r1 <= 0 or r1 >= r_real:
-            # every real eigenvalue on one side: narrow the window and retry
+            # every real eigenvalue on one side: bisect the window
             if r1 <= 0:
                 lo = sigma
             else:
                 hi = sigma
-            stack.append((Kb, Ub, lo, hi, npad, depth + 1))
+            stack.append((Kb, Ub, lo, hi, npad, depth + 1,
+                          0.5 * (lo + hi)))
             continue
 
         key, k1, k2 = jax.random.split(key, 3)
         eye_half = 0.5 * jnp.eye(r, dtype=wd)
-        P1 = eye_half + 0.5 * X   # projector onto eigs < sigma
-        P2 = eye_half - 0.5 * X   # eigs > sigma, including the pads
+        P1 = eye_half + 0.5 * X   # projector onto real eigs < sigma
+        P2 = eye_half - 0.5 * X   # real eigs > sigma, plus the pads
+        if npad:
+            # exact real-high projector: X is block-diagonal across the
+            # real/pad split, so zeroing the pad rows+cols removes exactly
+            # the pad directions
+            rmask = jnp.asarray(~pmask, dtype=wd)
+            P2 = P2 * rmask[:, None] * rmask[None, :]
 
         Q1 = _orth_range(P1, r1, k1)
-        Q2 = _orth_range(P2, r - r1, k2)
+        Q2 = _orth_range(P2, r_real - r1, k2)
         with _hp():
             K1 = Q1.T @ (Kb @ Q1)
             K2 = Q2.T @ (Kb @ Q2)
@@ -441,19 +473,19 @@ def build_eigen(
         K2 = 0.5 * (K2 + K2.T)
         margin = 0.05 * (hi - lo)
         K1, U1 = _pad_block(K1, U1, r1)
-        K2, U2 = _pad_block(K2, U2, r - r1)
+        K2, U2 = _pad_block(K2, U2, r_real - r1)
         stack.append((K1, U1, lo, sigma + margin,
-                      K1.shape[0] - r1, depth + 1))
+                      K1.shape[0] - r1, depth + 1, None))
         stack.append((K2, U2, sigma - margin, hi,
-                      K2.shape[0] - (r - r1) + npad, depth + 1))
-        vlog(f"split r={r} -> {r1}+{r-r1} (depth {depth})")
+                      K2.shape[0] - (r_real - r1), depth + 1, None))
+        vlog(f"split r={r} -> {r1}+{r_real - r1} real (depth {depth})")
 
     U = jnp.concatenate(out_cols, axis=1)
     lam_cat = np.concatenate(out_lams)
     if U.shape[1] != n or len(lam_cat) != n:
         raise RuntimeError(
             f"eigen build lost dimensions: {U.shape[1]} vs N={n} "
-            f"(pad bookkeeping bug or real eigenvalue above pad_thr)"
+            f"(rank extraction failed at some split)"
         )
     order = np.argsort(lam_cat, kind="stable")
     U = U[:, jnp.asarray(order)]
