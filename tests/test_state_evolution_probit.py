@@ -113,6 +113,35 @@ def test_probit_conditional_semantics_every_iteration(probit_se_run):
             err_msg=f"it {t+1}: LMMSE/trace divergence (1-alpha2)")
 
 
+def test_probit_full_trajectory_tracks_se(probit_se_run):
+    """EVERY iteration's gamma/tau state must track the SE trajectory —
+    closing the round-2 gap where only iteration 1 was locked
+    unconditionally and a dynamics misreading feeding back through
+    gamma/tau after it 1 could pass.
+
+    Tolerances are calibrated from the measured finite-size gap at
+    N=1536 (beta1 runs 2-7% below its SE expectation at settled
+    iterations — iteration 1, where the p1 law is exact, matches to 4
+    digits, so this is SE asymptotics, not a denoiser error) and its
+    algebraic amplification through the recursions:
+    tau2 = tau1(1-beta1)/beta1 multiplies a beta1 error by
+    1/(beta1(1-beta1)) ~ 5.3 at beta1 ~ 0.75 -> ~30%; gam1 inherits the
+    LMMSE complement's sensitivity -> ~30%.  Measured maxima over the
+    8-iteration trajectory: beta1 7.1%, tau1 18.6%, gam2 12.7%,
+    gam1 29.7%, tau2 31.1%.  A genuine dynamics bug (wrong Onsager sign,
+    missing damping, swapped half-step order) compounds geometrically
+    through gamma and exceeds these bands within 2-3 iterations."""
+    engine, se, *_ = probit_se_run
+    bands = dict(beta1=0.12, tau1=0.28, gam2=0.20, gam1=0.42, tau2=0.45,
+                 alpha1=0.35, alpha2=0.01, beta2=0.35)
+    for t in range(1, ITERS):   # iteration 1 locked tightly above
+        e, s = engine[t], se[t]
+        for k, tol in bands.items():
+            np.testing.assert_allclose(
+                e[k], s[k], rtol=tol,
+                err_msg=f"iteration {t+1}: {k} left the SE trajectory band")
+
+
 def test_probit_fixed_point_brackets_se(probit_se_run):
     engine, se, *_ = probit_se_run
     fp = se[-1]
