@@ -148,12 +148,20 @@ def test_engine_eigen_matches_spectral_trajectory(small_fixture, tmp_path):
     assert abs(res_e.gamw - res_s.gamw) / res_s.gamw < 1e-8
 
 
-def test_engine_eigen_shard_invariance(small_fixture, tmp_path, mesh8):
-    """Eigen engine on the 8-device mesh reproduces the single-device run."""
+def test_engine_eigen_shard_invariance(tmp_path, mesh8):
+    """Eigen engine on the 8-device mesh reproduces the single-device run.
+
+    N = 320 divides the mesh, so build_eigen SHARDS the eigenbasis columns
+    over the marker axis — this exercises the distributed per-iteration
+    dense path (sharded U^T av contraction + one N-vector psum), the
+    design that removes the replicated-dense Amdahl term (SCALING.md)."""
+    from jax.sharding import NamedSharding
     from vampomi_tpu.config import RunConfig
     from vampomi_tpu.engine.linear import infere_linear
+    from vampomi_tpu.ops.eigen import build_eigen
+    from vampomi_tpu.sim.data_sim import simulate_iid
 
-    fx = small_fixture
+    fx = simulate_iid(n=320, m=1280, lam=0.05, h2=0.8, seed=12)
     common = dict(
         out_dir=str(tmp_path), out_name="em", iterations=4, rho=0.5, h2=0.8,
         gam1=1e-6, probs=list(PROBS3), vars=list(VARS3),
@@ -161,6 +169,11 @@ def test_engine_eigen_shard_invariance(small_fixture, tmp_path, mesh8):
     )
     dm1 = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
     dm8 = build_design(fx.X.T, mesh=mesh8, compute_dtype=jnp.float64)
+    # the mesh build must actually shard the eigenbasis columns
+    ef8, _ = build_eigen(build_spectral(dm8), leaf=64)
+    assert isinstance(ef8.U.sharding, NamedSharding)
+    assert ef8.U.sharding.spec[1] is not None
+
     r1 = infere_linear(dm1, fx.y, RunConfig(**common),
                        true_signal=fx.beta, write_outputs=False)
     r8 = infere_linear(dm8, fx.y, RunConfig(**common),

@@ -498,6 +498,24 @@ def build_eigen(
         G = U.T @ U
     ortho = float(jnp.max(jnp.abs(G - jnp.eye(n, dtype=wd))))
     lam64 = jnp.asarray(np.asarray(jax.device_get(lam_r), dtype=np.float64))
+
+    # On a multi-device mesh, shard U's COLUMNS (and lam) over the marker
+    # axis: GSPMD then executes U^T av as a communication-free sharded
+    # contraction and U (d ∘ t) with a single psum of an N-vector — the
+    # per-iteration dense work scales ~1/C instead of replicating, removing
+    # the Amdahl term that capped 8-chip efficiency (SCALING.md).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..sharding import MARKER_AXIS
+
+    if isinstance(K.sharding, NamedSharding):
+        mesh = K.sharding.mesh
+        n_dev = int(np.prod(mesh.devices.shape))
+        if n_dev > 1 and n % n_dev == 0:  # NamedSharding needs divisibility
+            U = jax.device_put(U, NamedSharding(mesh, P(None, MARKER_AXIS)))
+            lam64 = jax.device_put(
+                lam64, NamedSharding(mesh, P(MARKER_AXIS)))
+
     diag = {"resid": float(resid), "ortho": ortho, **stats}
     return EigenFactor(U=U, lam=lam64), diag
 
