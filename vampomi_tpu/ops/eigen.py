@@ -192,6 +192,24 @@ def _cholqr2(Y):
     return Y
 
 
+@jax.jit
+def _subspace_chunk(P, Qacc, G, off):
+    """One full-width randomized Gram-Schmidt slab, fused into a single
+    dispatch (the eager formulation cost ~18 relay round-trips per chunk):
+    project a fresh random block into range(P), orthogonalize against the
+    accumulated basis (zero columns in Qacc are inert), CholQR2, re-project
+    to tighten the range, CholQR2 again, and write the slab into Qacc at
+    column `off` (traced — one compile per (r, k_quantized) shape pair)."""
+    with _hp():
+        Y = P @ G
+        Y = Y - Qacc @ (Qacc.T @ Y)
+        Y = _cholqr2(Y)
+        Y2 = P @ Y
+        Y2 = Y2 - Qacc @ (Qacc.T @ Y2)
+        Q = _cholqr2(Y2)
+    return jax.lax.dynamic_update_slice(Qacc, Q, (0, off))
+
+
 _CHUNK = 448  # device-CholQR chunk width (host finishes the last <=512)
 
 
@@ -207,49 +225,43 @@ def _orth_range(P, k, key):
     device CholQR2), with the final <=512-wide slab finished by the
     rank-safe host eigh-of-Gram path."""
     r = P.shape[0]
-    built: list[jax.Array] = []
+    # accumulated basis lives in a quantized-width buffer (zero columns are
+    # inert in the projections) so every big matmul shape repeats across
+    # the whole tree and across runs (compile cache)
+    kq = ((k + 1023) // 1024) * 1024
+    kq = min(kq, ((r + 1023) // 1024) * 1024)
+    Qacc = jnp.zeros((r, kq), dtype=P.dtype)
     done = 0
     while done < k:
         rest = k - done
         if rest <= 2 * 512 - 64:
             # final slab, host-side rank-safe orthonormalization.  The
-            # sample width is FIXED at 968 so the big P @ G and projection
-            # matmuls keep one compile-cache shape; only the tiny final
-            # Y @ top mixing matmul depends on `rest`.
+            # sample width is FIXED so the big P @ G and projection matmuls
+            # keep one compile-cache shape; only the tiny final Y @ top
+            # mixing matmul depends on `rest`.
             cols = min(2 * 512 - 56, r)
             G = jax.random.normal(key, (r, cols), dtype=P.dtype)
             key, = jax.random.split(key, 1)
             with _hp():
                 Y = P @ G
-                for Q in built:
-                    Y = Y - Q @ (Q.T @ Y)
+                Y = Y - Qacc @ (Qacc.T @ Y)
             Qc = _orth_small(Y, rest, passes=2)
             # one subspace-iteration polish tightens the range accuracy
             with _hp():
                 Y2 = P @ Qc
-                for Q in built:
-                    Y2 = Y2 - Q @ (Q.T @ Y2)
+                Y2 = Y2 - Qacc @ (Qacc.T @ Y2)
             Qc = _orth_small(Y2, rest, passes=1)
-            built.append(Qc)
+            Qacc = jax.lax.dynamic_update_slice(
+                Qacc, Qc, (0, jnp.asarray(done)))
             done = k
         else:
-            # full-width device slab: ALWAYS _CHUNK columns (fixed shapes)
+            # full-width device slab: ALWAYS _CHUNK columns (fixed shapes),
+            # one fused dispatch
             G = jax.random.normal(key, (r, _CHUNK), dtype=P.dtype)
             key, = jax.random.split(key, 1)
-            with _hp():
-                Y = P @ G
-                for Q in built:
-                    Y = Y - Q @ (Q.T @ Y)
-            Qc = _cholqr2(Y)
-            # re-project: CholQR'd directions can leak out of range(P)
-            with _hp():
-                Y2 = P @ Qc
-                for Q in built:
-                    Y2 = Y2 - Q @ (Q.T @ Y2)
-            Qc = _cholqr2(Y2)
-            built.append(Qc)
+            Qacc = _subspace_chunk(P, Qacc, G, jnp.asarray(done))
             done += _CHUNK
-    return built[0] if len(built) == 1 else jnp.concatenate(built, axis=1)
+    return Qacc[:, :k]
 
 
 @jax.jit
