@@ -252,6 +252,32 @@ def test_shift_inverse_fused(problem, factor):
             )
 
 
+def test_shift_inverse_nonpow2_recursion_blocks():
+    """shift_inverse at block sizes ABOVE the _FACTOR_BASE leaf threshold
+    with non-power-of-two N — the exact configuration a production
+    N=10240/12288 factor uses (default_nb(10240)=16 -> 640-wide diagonal
+    blocks running the lane-aligned 2x2 recursion of _factor_diag).  The
+    N=300 fixture above never leaves the direct-cholesky leaf path."""
+    from vampomi_tpu.ops.spectral import GramFactor, _FACTOR_BASE, shift_inverse
+
+    rng = np.random.default_rng(9)
+    for n, nb in ((640, 1), (1344, 2), (1920, 3)):
+        assert n // nb > _FACTOR_BASE  # recursion actually exercised
+        A = rng.standard_normal((n, 2 * n)) / np.sqrt(2 * n)
+        K = A @ A.T
+        fac = GramFactor(K=jnp.asarray(K))
+        tau, gam2 = 5.0, 0.3
+        S = tau * K + gam2 * np.eye(n)
+        Sinv = np.linalg.inv(S)
+        wi = shift_inverse(fac, tau, gam2, nb=nb)
+        W = np.asarray(wi.W)
+        np.testing.assert_allclose(W @ S @ W.T, np.eye(n), atol=1e-8)
+        np.testing.assert_allclose(float(wi.T), np.trace(Sinv), rtol=1e-10)
+        b = rng.standard_normal(n)
+        np.testing.assert_allclose(
+            np.asarray(wi.solve(jnp.asarray(b))), Sinv @ b, atol=1e-8)
+
+
 def test_shift_inverse_matches_trace_pass(problem, factor):
     """Fused-trace == the independent blocked-forward-substitution trace."""
     from vampomi_tpu.ops.spectral import shift_inverse
