@@ -328,7 +328,7 @@ def _host_leaf_eigh(Kb):
 def build_eigen(
     fac: GramFactor,
     seed: int = 0,
-    leaf: int = 1024,
+    leaf: int = 2048,
     max_depth: int = 60,
     verbose: bool = False,
 ) -> tuple[EigenFactor, dict]:
