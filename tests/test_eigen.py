@@ -181,6 +181,33 @@ def test_engine_eigen_shard_invariance(tmp_path, mesh8):
     np.testing.assert_allclose(r8.x1_hat_scaled, r1.x1_hat_scaled, atol=1e-9)
 
 
+def test_probit_eigen_matches_spectral(tmp_path):
+    """Probit GLM-VAMP with the eigen solver reproduces the spectral-solver
+    trajectory (tau2 moves every iteration; the eigenbasis is
+    shift-invariant)."""
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.probit import infere_bin_class
+    from vampomi_tpu.sim.data_sim import simulate_iid
+
+    fx = simulate_iid(n=400, m=300, lam=0.15, h2=0.9, seed=9)
+    rng = np.random.default_rng(10)
+    ybin = (fx.X @ fx.beta + rng.normal(0, np.sqrt(0.1), fx.X.shape[0]) > 0
+            ).astype(float)
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    common = dict(
+        out_dir=str(tmp_path), out_name="pe", model="bin_class", iterations=5,
+        rho=0.3, gam1=1e-2, probs=[0.85, 0.1, 0.05], vars=[0.0, 1e-3, 1e-2],
+        stop_criteria_thr=1e-10, seed=3, trace=0,
+    )
+    r_e = infere_bin_class(dm, ybin, RunConfig(lmmse_solver="eigen", **common),
+                           true_signal=fx.beta, write_outputs=False)
+    r_s = infere_bin_class(dm, ybin, RunConfig(lmmse_solver="spectral", **common),
+                           true_signal=fx.beta, write_outputs=False)
+    np.testing.assert_allclose(r_e.x1_hat_scaled, r_s.x1_hat_scaled, atol=1e-9)
+    for me, ms in zip(r_e.metrics_history, r_s.metrics_history):
+        np.testing.assert_allclose(me, ms, rtol=0, atol=1e-8)
+
+
 def test_auto_solver_upgrades_to_eigen_on_mesh():
     from vampomi_tpu.config import RunConfig
     from vampomi_tpu.engine.linear import choose_lmmse_solver

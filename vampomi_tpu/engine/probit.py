@@ -123,7 +123,21 @@ def _probit_phase(
 
     # ---------- LMMSE x (src/vamp_probit.cpp:291-346) ----------
     v = c(tau2) * atx(dm, p2_new) + c(gam2) * r2_new
-    if solver == "spectral":
+    if solver == "eigen":
+        # once-per-dataset eigenbasis of K (ops/eigen.py): the per-iteration
+        # dense work is two N^2 matvecs even though tau2 moves every
+        # iteration — `fac` carries the EigenFactor here
+        from ..ops.eigen import eigen_solve, eigen_traces
+        from ..ops.operator import ax_batch
+
+        Z = ax_batch(dm, jnp.stack([x1_hat * inv_sqrt_n, v], axis=1))
+        z1_pred = Z[:, 0]
+        av = Z[:, 1]
+        x2_hat, z2_hat = eigen_solve(dm, fac, v, tau2, gam2, av=av)
+        tr_qinv, _ = eigen_traces(fac, dm.mt, tau2, gam2)
+        alpha2 = gam2 * tr_qinv / dm.mt
+        cg_iters = jnp.asarray(0)
+    elif solver == "spectral":
         # exact Woodbury solve + closed-form Onsager (ops/spectral.py); tau2
         # varies per iteration but the Gram factor is shift-invariant.
         # z1_pred (denoising metrics, src/vamp_probit.cpp:269-287) shares the
@@ -305,14 +319,32 @@ def infere_bin_class(
         out_params = _csv(base + "_params.csv", PARAMS_HEADER)
         out_prior = _csv(base + "_prior.csv", prior_header)
 
-    solver = choose_lmmse_solver(cfg, Mt, N)
+    from jax.sharding import NamedSharding
+
+    n_devices = 1
+    if isinstance(dm.X.sharding, NamedSharding):
+        n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
+    solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
     fac = None
-    if solver == "spectral":
+    if solver in ("spectral", "eigen"):
         t_fac = time.time()
         fac = build_spectral(dm)
         jax.block_until_ready(fac.K)
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
+    if solver == "eigen":
+        from ..ops.eigen import build_eigen
+
+        t_eig = time.time()
+        ef, eig_diag = build_eigen(fac, seed=cfg.seed)
+        _log(verbose, f"eigenbasis of K built in {time.time() - t_eig:.3f}s "
+                      f"(residual {eig_diag['resid']:.2e})")
+        if eig_diag["resid"] > 1e-3:
+            _log(verbose, "eigen residual above tolerance — falling back to the "
+                          "per-iteration factor path")
+            solver = "spectral"
+        else:
+            fac = ef  # _probit_phase's `fac` slot carries the EigenFactor
 
     from ..utils.telemetry import Tracer
 
@@ -370,7 +402,7 @@ def infere_bin_class(
             _log(verbose, f"\n********************\niteration = {it}\n********************")
 
             key, sub = jax.random.split(key)
-            if solver == "spectral":
+            if solver in ("spectral", "eigen"):
                 bern = jnp.zeros(M_pad, dtype=wd)  # probe unused: traces are exact
             else:
                 bern = (

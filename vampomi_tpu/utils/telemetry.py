@@ -40,7 +40,9 @@ def estimate_passes(cg_iters: int, model: str = "linear", solver: str = "cg") ->
     passes per iteration, period (ops/spectral.py; z2 is algebraic).
     Probit: ax_batch([z1_pred, v]) [1] + atx(p2) [1] + atx(q) [1].
     """
-    if solver == "spectral":
+    if solver in ("spectral", "eigen"):
+        # eigen shares the spectral pass structure: the dense work moves
+        # from a per-iteration factor to the eigenbasis, X passes unchanged
         return 2 if model == "linear" else 3
     around = 6 if model == "linear" else 8
     return 2 * (cg_iters + 1) + around
