@@ -63,7 +63,10 @@ def pick_shape(dtype):
     itemsize = jnp.dtype(dtype).itemsize
     if dtype == jnp.int8:
         n = 10240
-        budget = int(limit) - int(4.5e9)  # K+U+build transients+margin
+        # K + U + the eigen build's sign/subspace transients peak at
+        # ~2.2 GB; X = 12.6 GB measured OOM (allocator headroom), X = 10.4
+        # GB runs — budget 6.4 GB of non-X overhead
+        budget = int(limit) - int(6.4e9)
     else:
         n = 8192
         budget = int(limit * 0.77) - 7 * n * n * 4
@@ -277,6 +280,14 @@ def main() -> None:
             # heuristic is tuned to need at most one)
             m = max(m - 4 * 16384, 16384)
             log(f"OOM; retrying with M={m}")
+            # the failed attempt's device buffers are pinned by the
+            # exception's traceback frames until GC breaks the cycles —
+            # without this every retry OOMs instantly (measured)
+            import gc
+
+            e = None
+            gc.collect()
+            time.sleep(3.0)
 
     log(f"shape: M={m}, N={n}, dtype={jnp.dtype(dtype).name}; "
         f"X = {m*n*jnp.dtype(dtype).itemsize/2**30:.2f} GiB")
