@@ -74,37 +74,47 @@ def pick_shape(dtype):
     return int(min(m, 1_310_720)), n
 
 
+def gen_x(m, n, dtype):
+    """Deterministic synthetic X — callable twice to REGENERATE the matrix
+    bit-identically after it was freed to make HBM room for the eigen
+    build (cheaper than holding 10+ GB through a dense build, and the
+    relay's ~20 MB/s fetch rules out a host round-trip).
+
+    Chunked under lax.scan so the RNG's internal full-precision transient
+    never exceeds one chunk (a single jax.random call at (m, n) would
+    spike ~4x the int8 X footprint)."""
+    chunk = 16384
+    assert m % chunk == 0 or m < chunk
+    kx = jax.random.split(jax.random.PRNGKey(0), 3)[0]
+
+    def gen_chunk(kk):
+        if dtype == jnp.int8:
+            # synthetic already-quantized codes (uniform over the affine
+            # range); msig folds the 1/sd like quantize_markers does
+            return jax.random.randint(kk, (chunk, n), -127, 128, dtype=jnp.int8)
+        return jax.random.normal(kk, (chunk, n), dtype=dtype)
+
+    if m <= chunk:
+        return gen_chunk(kx)
+
+    @jax.jit
+    def gen(k):
+        ks = jax.random.split(k, m // chunk)
+        _, out = jax.lax.scan(lambda c, kk: (c, gen_chunk(kk)), 0, ks)
+        return out.reshape(m, n)
+
+    return gen(kx)
+
+
 def make_problem(m, n, dtype):
     from vampomi_tpu.ops.operator import DesignMatrix
     from vampomi_tpu.prior.mixture import init_prior
 
     wd = jnp.float32 if dtype in (jnp.bfloat16, jnp.int8) else dtype
     key = jax.random.PRNGKey(0)
-    kx, ky, kr = jax.random.split(key, 3)
+    _, ky, kr = jax.random.split(key, 3)
 
-    # generate X in marker chunks under lax.scan so the RNG's internal
-    # full-precision transient never exceeds one chunk (a single
-    # jax.random call at (m, n) would spike ~4x the int8 X footprint)
-    chunk = 16384
-    assert m % chunk == 0 or m < chunk
-
-    def gen_chunk(kk):
-        if dtype == jnp.int8:
-            # synthetic already-quantized codes (uniform over the affine
-            # range); msig below folds the 1/sd like quantize_markers does
-            return jax.random.randint(kk, (chunk, n), -127, 128, dtype=jnp.int8)
-        return jax.random.normal(kk, (chunk, n), dtype=dtype)
-
-    if m <= chunk:
-        X = gen_chunk(kx)
-    else:
-        @jax.jit
-        def gen(k):
-            ks = jax.random.split(k, m // chunk)
-            _, out = jax.lax.scan(lambda c, kk: (c, gen_chunk(kk)), 0, ks)
-            return out.reshape(m, n)
-
-        X = gen(kx)
+    X = gen_x(m, n, dtype)
     # per-marker inverse sd: uniform int8 codes have sd 255/sqrt(12)
     sig = 1.0 / (255.0 / np.sqrt(12.0)) if dtype == jnp.int8 else 1.0
     dm = DesignMatrix(
@@ -178,6 +188,16 @@ def run(m, n, dtype):
     if solver == "eigen":
         from vampomi_tpu.ops.eigen import build_eigen, eigen_weights
 
+        # free X for the duration of the dense build (the build needs only
+        # K); regenerate it bit-identically afterwards.  Holding a 10+ GB X
+        # next to the build's N^2 transients measured an HBM OOM at the
+        # assembly stage.
+        placeholder = jnp.zeros((16384, n), dtype=dtype)
+        dm = dm._replace(X=placeholder)
+        import gc
+
+        gc.collect()
+
         t0 = time.perf_counter()
         ef, diag = build_eigen(fac, verbose=True)
         sync(ef.U)
@@ -187,6 +207,7 @@ def run(m, n, dtype):
         if diag["resid"] > 1e-3:
             raise RuntimeError(f"eigen residual {diag['resid']} out of spec")
         del fac
+        dm = dm._replace(X=gen_x(m, n, dtype))
 
         # dense_ms: the per-iteration non-X dense work in isolation
         @jax.jit
