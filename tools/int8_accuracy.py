@@ -61,7 +61,12 @@ def main():
         cfg = RunConfig(
             out_dir=tmp, out_name="acc", iterations=iters, rho=0.5, h2=0.8,
             gam1=1e-6, probs=[0.99, 0.01], vars=[0.0, 0.8 / (m * 0.01)],
-            EM_max_iter=1, learn_vars=1, learn_prior_delay=1,
+            # prior FIXED at truth (the production warm-start
+            # workflow): this shape sits in the EM-metastable regime
+            # (EM_STABILITY.json) where EM-on outcomes flip with any
+            # fp-order change, which would confound the dtype
+            # comparison this tool exists to isolate
+            EM_max_iter=1, learn_vars=0, learn_prior_delay=99,
             merge_vars_thr=0.5, stop_criteria_thr=0.0, seed=7, meth_file="x",
             lmmse_solver="spectral",
         )
