@@ -1,0 +1,38 @@
+"""Guards for bench.py's helper logic.
+
+The benchmark frees the 10+ GB design matrix during the eigen build and
+REGENERATES it from the PRNG key afterwards — that trick is only sound if
+generation is bit-deterministic, which this locks.  (bench.py is the
+driver-facing perf contract; its helpers deserve the same test coverage as
+package code.)
+"""
+
+import sys
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_gen_x_is_deterministic():
+    a = np.asarray(bench.gen_x(32768, 64, jnp.int8))
+    b = np.asarray(bench.gen_x(32768, 64, jnp.int8))
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.int8
+    c = np.asarray(bench.gen_x(16384, 64, jnp.bfloat16).astype(jnp.float32))
+    d = np.asarray(bench.gen_x(16384, 64, jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(c, d)
+
+
+def test_make_problem_shapes_and_scaling():
+    dm, y, r1, prior = bench.make_problem(16384, 64, jnp.int8)
+    assert dm.X.dtype == jnp.int8 and dm.X.shape == (16384, 64)
+    assert dm.wd == jnp.float32
+    # msig folds the uniform-code sd so A rows are ~unit variance
+    col = np.asarray(dm.X[:, 0], dtype=np.float64) * float(dm.msig[0])
+    assert 0.8 < col.std() < 1.2
+    assert y.shape == (64,) and r1.shape == (16384,)
