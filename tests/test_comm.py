@@ -95,6 +95,45 @@ def test_spectral_iteration_collectives_are_o_n(sharded_dm, mesh8):
         assert count <= 4 * N, f"{op} of {count} elements (M leak?)"
 
 
+def test_eigen_iteration_collectives_are_o_n(mesh8):
+    """The eigen phase with a column-SHARDED eigenbasis: GSPMD must lower
+    U^T(Av) as a communication-free sharded contraction and U(d∘t) with an
+    O(N) all-reduce — the distributed dense path of SCALING.md.  Any
+    M-length or N²-length exchange fails."""
+    from vampomi_tpu.engine.linear import _iteration_phase_eigen
+    from vampomi_tpu.ops.eigen import build_eigen
+    from vampomi_tpu.ops.operator import atx, build_design
+    from vampomi_tpu.prior.mixture import init_prior
+
+    n_div = 128  # divides the 8-device mesh -> U actually sharded
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(4000, n_div))
+    dm = build_design(X, mesh=mesh8, compute_dtype=jnp.float64)
+    ef, _ = build_eigen(build_spectral(dm, block=512), leaf=32)
+    assert ef.U.sharding.spec[1] is not None  # sharded columns
+
+    prior = init_prior([0.9, 0.07, 0.03], [0.0, 1e-3, 1e-2], n_div)
+    m_pad = dm.m_pad
+    y = jnp.zeros(n_div)
+    aty = jax.jit(atx)(dm, y)
+    z = jnp.zeros(m_pad)
+
+    fn = getattr(_iteration_phase_eigen, "__wrapped__", _iteration_phase_eigen)
+    hlo = (
+        jax.jit(fn)
+        .lower(
+            dm, ef, aty, y, z, jnp.asarray(1.0), prior, z,
+            jnp.asarray(False), jnp.asarray(0.5), jnp.asarray(2.0), z,
+        )
+        .compile()
+        .as_text()
+    )
+    cols = collective_shapes(hlo)
+    assert cols, "expected collectives in the sharded program"
+    for op, count in cols:
+        assert count <= 4 * n_div, f"{op} of {count} elements (M or N^2 leak?)"
+
+
 def test_gram_pieces_psum_is_nxn(sharded_dm, mesh8):
     """The gram build's only collective is the psum of the (N, N) pieces
     (+ the N-length t and scalar s2) — lowered through the same shard_map
