@@ -91,6 +91,30 @@ def test_pvals_loo_matches_bruteforce(small_fixture):
         np.testing.assert_allclose(got[j], res.pvalue, rtol=1e-7, atol=1e-12)
 
 
+def test_pvals_loo_std_matches_bruteforce(small_fixture):
+    """loo_std adds back the STANDARDIZED marker contribution — the column z1
+    actually used — instead of the reference's raw-marker quirk Q5."""
+    fx = small_fixture
+    n, m = fx.X.shape
+    ds = make_ds(fx)
+    x1_up = fx.beta * np.sqrt(n)
+
+    got = pvals_loo(ds, x1_up, standardized=True)
+
+    mu = fx.X.mean(axis=0)
+    sd = np.sqrt(((fx.X - mu) ** 2).sum(axis=0) / (n - 1))
+    A = (fx.X - mu) / sd / np.sqrt(n)
+    y_mod = ds.phen.y - A @ x1_up
+    for j in range(40):
+        y_mark = y_mod + A[:, j] * x1_up[j]
+        res = linregress(fx.X[:, j], y_mark)
+        np.testing.assert_allclose(got[j], res.pvalue, rtol=1e-7, atol=1e-12)
+
+    # the two variants genuinely differ when marker sds differ from 1
+    quirk = pvals_loo(ds, x1_up, standardized=False)
+    assert np.max(np.abs(np.log10(got + 1e-300) - np.log10(quirk + 1e-300))) > 0.1
+
+
 def test_run_association_modes(small_fixture, tmp_path):
     fx = small_fixture
     n, m = fx.X.shape

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--run-mode", default="infere",
                    choices=["infere", "test", "association_test", "predict"])
     m.add_argument("--model", default="linear", choices=["linear", "bin_class"])
-    m.add_argument("--pval-method", default="se", choices=["se", "loo"])
+    # loo_std: calibrated LOO (standardized add-back) — ours, not in the
+    # reference (see modes/association.py docstring)
+    m.add_argument("--pval-method", default="se", choices=["se", "loo", "loo_std"])
 
     d = p.add_argument_group("dimensions")
     d.add_argument("--Mt", type=int, default=0)

@@ -34,7 +34,7 @@ class RunConfig:
     # mode / model
     run_mode: str = "infere"           # infere | test | association_test | predict
     model: str = "linear"              # linear | bin_class
-    pval_method: str = "se"            # se | loo
+    pval_method: str = "se"            # se | loo | loo_std (ours)
 
     # dimensions
     Mt: int = 0

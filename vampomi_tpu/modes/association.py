@@ -15,6 +15,18 @@ closed-form sufficient statistics around a single A-pass:
 
 then the 1-D regression t-test (reference src/utilities.cpp:269-282) done
 with scipy's Student-t survival function.
+
+Beyond the reference: `--pval-method loo_std` adds back the STANDARDIZED
+marker contribution msig_j (X_j - mave_j) x̂_j / sqrt(N) — exactly what z1
+subtracted — instead of the reference's raw-marker quirk (Q5,
+src/data.cpp:405).  The raw add-back under- or over-restores marker j's own
+fitted effect by the factor msig_j (methylation sds are ≪ 1, so msig ≫ 1),
+which leaves part of the marker's fitted signal in the "leave-one-out"
+residual and makes the quirk p-values anti-conservative at production scale
+(PRODUCTION_RUN.json: 4 false positives at Bonferroni vs 0 for SE).  The
+1-D regression itself still uses the raw marker — the t statistic depends
+only on corr(x, y), which is invariant to per-marker affine maps, so only
+the add-back differs.  Default stays `loo` (reference parity).
 """
 
 from __future__ import annotations
@@ -62,8 +74,16 @@ def _loo_stats(dm, y_mod):
     return sumx, sumsqx, xy
 
 
-def pvals_loo(ds: Dataset, x1_hat_scaled_up: np.ndarray) -> np.ndarray:
-    """x1_hat_scaled_up: estimate * sqrt(N) (internal scale), length Mt."""
+def pvals_loo(
+    ds: Dataset, x1_hat_scaled_up: np.ndarray, standardized: bool = False
+) -> np.ndarray:
+    """x1_hat_scaled_up: estimate * sqrt(N) (internal scale), length Mt.
+
+    standardized=False reproduces the reference's raw-marker add-back (Q5,
+    src/data.cpp:405); True adds back the standardized column that z1
+    actually used: y_mark = y_mod + c_j X_j - d_j with c_j = msig_j x̂_j/√N,
+    d_j = c_j·mave_j (for the quirk, c_j = x̂_j/√N, d_j = 0).
+    """
     dm = ds.dm
     n = int(dm.n)
     mt = int(dm.mt)
@@ -76,12 +96,21 @@ def pvals_loo(ds: Dataset, x1_hat_scaled_up: np.ndarray) -> np.ndarray:
 
     sumx, sumsqx, xy = (np.asarray(a)[:mt] for a in _loo_stats(dm, jnp.asarray(y_mod)))
     xh = x1_hat_scaled_up / np.sqrt(n)
+    if standardized:
+        c = np.asarray(dm.msig, dtype=np.float64)[:mt] * xh
+        d = c * np.asarray(dm.mave, dtype=np.float64)[:mt]
+    else:
+        c = xh
+        d = np.zeros(mt)
     sum_ymod = float(np.sum(y_mod))
     ss_ymod = float(np.dot(y_mod, y_mod))
 
-    sumy = sum_ymod + sumx * xh
-    sumxy = xy + sumsqx * xh
-    sumsqy = ss_ymod + 2.0 * xh * xy + xh * xh * sumsqx
+    sumy = sum_ymod + c * sumx - n * d
+    sumxy = xy + c * sumsqx - d * sumx
+    sumsqy = (
+        ss_ymod + c * c * sumsqx + n * d * d
+        + 2.0 * c * xy - 2.0 * d * sum_ymod - 2.0 * c * d * sumx
+    )
 
     return linear_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n)
 
@@ -95,11 +124,13 @@ def run_association_test(ds: Dataset, cfg: RunConfig) -> np.ndarray:
         r1 = read_bin_slab(cfg.r1_file, mt)
         pvals = pvals_se(r1, cfg.gam1, n)
         out = os.path.join(cfg.out_dir, f"{cfg.out_name}_it_{it_str}_pval_se.bin")
-    elif cfg.pval_method == "loo":
+    elif cfg.pval_method in ("loo", "loo_std"):
         it_str = parse_iteration(cfg.estimate_file)
         x1 = read_bin_slab(cfg.estimate_file, mt) * np.sqrt(float(n))
-        pvals = pvals_loo(ds, x1)
-        out = os.path.join(cfg.out_dir, f"{cfg.out_name}_it_{it_str}_pval_loo.bin")
+        pvals = pvals_loo(ds, x1, standardized=cfg.pval_method == "loo_std")
+        out = os.path.join(
+            cfg.out_dir, f"{cfg.out_name}_it_{it_str}_pval_{cfg.pval_method}.bin"
+        )
     else:
         raise ValueError(f"unknown pval method {cfg.pval_method}")
 
