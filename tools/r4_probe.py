@@ -248,7 +248,7 @@ def main():
     log(f"atx einsum int8->bf16 M={M}: {t*1e3:.2f} ms = {GB/t:.0f} GB/s")
     t = timeit(lambda: ax2_einsum(Xq, W2))
     log(f"ax_batch(K=2) einsum M={M}: {t*1e3:.2f} ms = {GB/t:.0f} GB/s")
-    for tm in (256, 512, 1024):
+    for tm in (256, 512):
         t = timeit(lambda: atx_i8_vpu(Xq, y, tm))
         log(f"atx pallas int8 VPU TM={tm}: {t*1e3:.2f} ms = {GB/t:.0f} GB/s")
     t = timeit(lambda: ax2_i8_pallas(Xq, W2))
@@ -262,7 +262,7 @@ def main():
     del Xn
     GB4 = M * N2 / 1e9
 
-    for tm in (256, 512, 1024):
+    for tm in (256, 512):
         t = timeit(lambda: atx_i4_vpu(Xp, y, tm))
         log(f"atx pallas int4 VPU TM={tm}: {t*1e3:.2f} ms = {GB4/t:.0f} GB/s "
             f"packed ({GB/t:.0f} GB/s effective)")

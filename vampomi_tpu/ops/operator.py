@@ -35,6 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sharding import MARKER_AXIS, distribute, pad_to_multiple
+from . import pallas_matvec
 
 
 class DesignMatrix(NamedTuple):
@@ -105,12 +106,12 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     Matches reference `data::Ax` (src/data.cpp:340-373): per-marker
     (X_j - mu_j) * sigma_inv_j * x_j accumulated over markers, then / sqrt(N).
 
-    The XLA einsum IS the fast path: hand-written Pallas matvec kernels were
-    measured on v5e at M=158720 f32 / M=317440 bf16 and did not beat it
-    (ax: within 2 percent either way; atx: pallas 5-13 percent SLOWER) — the
-    fused standardize-matvec is HBM-bound at ~620 GB/s and XLA already
-    saturates it, so the kernels were deleted rather than shipped as
-    unproven freight.
+    The XLA einsum IS the fast path for this direction: hand-written Pallas
+    matvec kernels were measured at M=158720 f32 / M=317440 bf16 and did not
+    beat it (ax: within 2 percent either way), and for int8 the broadcast
+    direction already runs at the raw byte-stream floor (~670 GB/s,
+    tools/r4_probe.py) — only the reduce direction (`atx`) gains from a
+    Pallas kernel; see ops/pallas_matvec.py.
     """
     w = dm.msig * x.astype(dm.wd)
     Xo, wo = _mxu_operands(dm, w)
@@ -127,14 +128,24 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
     """v = A^T y for y (N,) → (M_pad,), padded entries exactly 0.
 
     Matches reference `data::ATx` (src/data.cpp:315-333).
+
+    For int8 X on a single TPU device this direction routes through the
+    Pallas VPU kernel (ops/pallas_matvec.py): XLA's reduce-over-lanes int8
+    matvec measures ~479 GB/s vs the kernel's ~625 at the north-star shape,
+    and the kernel is also MORE accurate (f32 y, exact int8→f32 upcast,
+    vs the einsum's bf16-rounded y).
     """
     yc = y.astype(dm.wd)
-    Xo, yo = _mxu_operands(dm, yc)
-    xy = jnp.einsum(
-        "mn,n->m", Xo, yo,
-        preferred_element_type=_accum_dtype(dm),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    tm = pallas_matvec.atx_applicable(dm)
+    if tm is not None:
+        xy = pallas_matvec.atx_int8_raw(dm.X, yc, tm)
+    else:
+        Xo, yo = _mxu_operands(dm, yc)
+        xy = jnp.einsum(
+            "mn,n->m", Xo, yo,
+            preferred_element_type=_accum_dtype(dm),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     v = dm.msig * (xy.astype(dm.wd) - dm.mave * jnp.sum(yc))
     return v * dm.inv_sqrt_n
 
