@@ -115,6 +115,67 @@ def test_pvals_loo_std_matches_bruteforce(small_fixture):
     assert np.max(np.abs(np.log10(got + 1e-300) - np.log10(quirk + 1e-300))) > 0.1
 
 
+def test_pvals_loo_quantized_matches_bruteforce(small_fixture):
+    """LOO on an int8-quantized design: the implementation works in code
+    space (moments of the stored codes, add-back coefficient rescaled by
+    the dequantization scale s_j); per-marker affine invariance of the t
+    statistic makes that equal to regressing on the dequantized marker with
+    the reference's raw-unit add-back."""
+    import pytest
+    from vampomi_tpu.ops.operator import quantize_markers
+
+    fx = small_fixture
+    n, m = fx.X.shape
+    qinfo: dict = {}
+    dm = build_design(
+        fx.X.T, mesh=None, compute_dtype=jnp.int8, quant_out=qinfo
+    )
+    sqn = np.sqrt((n - 1) / np.sum((fx.y - fx.y.mean()) ** 2))
+    y = fx.y * sqn
+    ds = Dataset(
+        dm=dm, phen=Phenotype(y=y, intercept=0.0, scale=1.0),
+        covariates=None, qscale=qinfo["scale"],
+    )
+    x1_up = fx.beta * np.sqrt(n)
+
+    got = pvals_loo(ds, x1_up)
+
+    # oracle: the DEQUANTIZED matrix (what the quantized operator actually
+    # models), f64 throughout
+    Xq, s, z = quantize_markers(fx.X.T)
+    Xdq = (s[:, None] * Xq + z[:, None]).T  # (N, M)
+    mu = Xdq.mean(axis=0)
+    sd = np.sqrt(((Xdq - mu) ** 2).sum(axis=0) / (n - 1))
+    A = (Xdq - mu) / sd / np.sqrt(n)
+    y_mod = y - A @ x1_up
+    lg = np.log10(got[:40] + 1e-300)
+    want = np.empty(40)
+    for j in range(40):
+        y_mark = y_mod + Xdq[:, j] / np.sqrt(n) * x1_up[j]
+        want[j] = linregress(Xdq[:, j], y_mark).pvalue
+    # f32 vectors + bf16-rounded y_mod in the xy pass bound the agreement
+    np.testing.assert_allclose(lg, np.log10(want + 1e-300), atol=0.1)
+
+    # and the quantized result tracks the float-design quirk p-values
+    ds64 = make_ds(fx)
+    p64 = pvals_loo(ds64, x1_up)
+    mask = p64 < 1e-4  # well-resolved tail
+    assert mask.sum() > 10
+    np.testing.assert_allclose(
+        np.log10(got[mask]), np.log10(p64[mask]), rtol=0.08
+    )
+
+    # without the scale the raw-quirk variant must refuse, and loo_std
+    # (code-space coefficients only) must still work
+    ds_noscale = Dataset(
+        dm=dm, phen=Phenotype(y=y, intercept=0.0, scale=1.0), covariates=None
+    )
+    with pytest.raises(ValueError, match="dequantization scale"):
+        pvals_loo(ds_noscale, x1_up)
+    p_std = pvals_loo(ds_noscale, x1_up, standardized=True)
+    assert np.all(np.isfinite(p_std))
+
+
 def test_run_association_modes(small_fixture, tmp_path):
     fx = small_fixture
     n, m = fx.X.shape

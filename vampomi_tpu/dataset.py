@@ -25,6 +25,11 @@ class Dataset(NamedTuple):
     dm: DesignMatrix
     phen: Phenotype
     covariates: np.ndarray | None
+    # per-marker dequantization scale (length Mt f64) when dm.X holds affine-
+    # quantized codes; None for float designs.  The LOO association add-back
+    # (modes/association.py pvals_loo) needs it to express the reference's
+    # raw-marker coefficient in code space.
+    qscale: np.ndarray | None = None
 
 
 def load_dataset(
@@ -68,11 +73,14 @@ def load_dataset(
 
     if mesh is None or jax.process_count() == 1:
         X, stats = _load(mt, 0)
+        qinfo: dict = {}
         dm = build_design(
             X, mesh=mesh, compute_dtype=compute_dtype,
-            alpha_scale=alpha_scale, mt=mt, stats=stats,
+            alpha_scale=alpha_scale, mt=mt, stats=stats, quant_out=qinfo,
         )
-        return Dataset(dm=dm, phen=phen, covariates=covs)
+        return Dataset(
+            dm=dm, phen=phen, covariates=covs, qscale=qinfo.get("scale")
+        )
 
     # Multi-host path: equal padded shards per process (contiguous in the
     # 1-D marker mesh), each host reads only its own rows that exist on disk.

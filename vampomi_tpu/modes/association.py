@@ -63,14 +63,32 @@ def linear_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n: int) -> np.ndarray:
 
 @jax.jit
 def _loo_stats(dm, y_mod):
-    """Per-marker raw-X moments and the X @ y_mod matvec, one fused pass
-    (work dtype on device; f64 only for the O(M) outputs)."""
-    acc = jnp.float32 if dm.X.dtype == jnp.bfloat16 else dm.X.dtype
-    sumx = jnp.sum(dm.X.astype(acc), axis=1).astype(jnp.float64)
-    sumsqx = jnp.sum(dm.X.astype(acc) * dm.X.astype(acc), axis=1).astype(jnp.float64)
-    xy = jnp.einsum(
-        "mn,n->m", dm.X, y_mod.astype(dm.X.dtype), preferred_element_type=acc
-    ).astype(jnp.float64)
+    """Per-marker stored-X moments and the X @ y_mod matvec (f64 only for
+    the O(M) outputs).  For a quantized design these are CODE-space moments
+    — the t-test is invariant to per-marker affine maps, so the caller only
+    rescales the add-back coefficient (pvals_loo).
+
+    The converts feeding the reductions fuse into the reads (no full-size
+    X copy materializes); int8 codes are exact in both f32 and bf16, so the
+    only rounding on the narrow paths is y_mod → bf16 in the matvec
+    (~1e-3 relative on xy, far below the quantizer's own perturbation)."""
+    acc = dm.wd  # f32 for bf16/int8 X, else X's own dtype
+    Xa = dm.X.astype(acc)
+    sumx = jnp.sum(Xa, axis=1).astype(jnp.float64)
+    sumsqx = jnp.sum(Xa * Xa, axis=1).astype(jnp.float64)
+    if dm.X.dtype in (jnp.bfloat16, jnp.int8):
+        xy = jnp.einsum(
+            "mn,n->m", dm.X.astype(jnp.bfloat16), y_mod.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float64)
+    else:
+        xy = jnp.einsum(
+            "mn,n->m", dm.X, y_mod.astype(dm.X.dtype),
+            preferred_element_type=acc,
+            # TPU f32 matmuls default to bf16 operands; this pass feeds
+            # p-values, so keep full operand precision
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.float64)
     return sumx, sumsqx, xy
 
 
@@ -96,9 +114,25 @@ def pvals_loo(
 
     sumx, sumsqx, xy = (np.asarray(a)[:mt] for a in _loo_stats(dm, jnp.asarray(y_mod)))
     xh = x1_hat_scaled_up / np.sqrt(n)
+    quantized = dm.X.dtype == jnp.int8
     if standardized:
+        # for a quantized design dm.msig/dm.mave are the code-space folded
+        # vectors, so these coefficients are already in code units
         c = np.asarray(dm.msig, dtype=np.float64)[:mt] * xh
         d = c * np.asarray(dm.mave, dtype=np.float64)[:mt]
+    elif quantized:
+        # raw marker X_j = s_j q_j + z_j: the quirk's raw-unit add-back
+        # xh·X_j becomes (xh·s_j)·q_j in code space, plus the constant
+        # xh·z_j — a uniform shift of y_mark that the t statistic is
+        # invariant to, so it is dropped (d = 0)
+        if ds.qscale is None:
+            raise ValueError(
+                "LOO raw-marker add-back on a quantized design needs the "
+                "dequantization scale; load the dataset via load_dataset "
+                "(Dataset.qscale) or use --pval-method loo_std"
+            )
+        c = xh * np.asarray(ds.qscale, dtype=np.float64)[:mt]
+        d = np.zeros(mt)
     else:
         c = xh
         d = np.zeros(mt)

@@ -295,6 +295,7 @@ def build_design(
     alpha_scale: float = 1.0,
     mt: int | None = None,
     stats: tuple[np.ndarray, np.ndarray] | None = None,
+    quant_out: dict | None = None,
 ) -> DesignMatrix:
     """Construct a (optionally mesh-sharded) DesignMatrix from raw (Mt, N)
     marker-major data.
@@ -305,6 +306,12 @@ def build_design(
     `stats` = precomputed f64 (mave, msig) for the Mt real markers — supplied
     by the fused native ingest (io/bin_io.py read_meth_bin_stats), which
     computes them in the same threaded pass that narrows the file to f32.
+
+    `quant_out`, if given, receives {"scale": s, "zero": z} (length Mt f64)
+    when the design is quantized — the per-marker affine dequantization
+    X ≈ s·Xq + z that downstream raw-marker consumers (the LOO association
+    add-back, modes/association.py) need to map code-space moments back to
+    raw units.
     """
     X_raw = np.asarray(X_raw)
     Mt_true = int(mt if mt is not None else X_raw.shape[0])
@@ -317,6 +324,9 @@ def build_design(
     quant = cd == np.dtype(np.int8)
     if quant:
         X_store, qs, qz = quantize_markers(X_raw)
+        if quant_out is not None:
+            quant_out["scale"] = qs
+            quant_out["zero"] = qz
     else:
         X_store = X_raw
 
