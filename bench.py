@@ -61,6 +61,12 @@ def pick_shape(dtype):
     except Exception:
         limit = 16 * 2**30
     itemsize = jnp.dtype(dtype).itemsize
+    if dtype == jnp.uint8:  # packed int4: two codes per byte
+        n = 10240
+        budget = int(limit) - int(6.4e9)
+        m = max(budget // (n // 2), 16384) // 16384 * 16384
+        # 2x the int8 marker capacity at the same byte budget
+        return int(min(m, 2_097_152)), n
     if dtype == jnp.int8:
         n = 10240
         # K + U + the eigen build's sign/subspace transients peak at
@@ -88,12 +94,19 @@ def gen_x(m, n, dtype):
     kx = jax.random.split(jax.random.PRNGKey(0), 3)[0]
 
     def gen_chunk(kk):
+        if dtype == jnp.uint8:
+            # packed int4: uniform random bytes = two independent uniform
+            # nibbles per byte (codes uniform over [-8, 7] after unbias)
+            return jax.random.randint(
+                kk, (chunk, n // 2), 0, 256, dtype=jnp.uint8
+            )
         if dtype == jnp.int8:
             # synthetic already-quantized codes (uniform over the affine
             # range); msig folds the 1/sd like quantize_markers does
             return jax.random.randint(kk, (chunk, n), -127, 128, dtype=jnp.int8)
         return jax.random.normal(kk, (chunk, n), dtype=dtype)
 
+    cols = n // 2 if dtype == jnp.uint8 else n
     if m <= chunk:
         return gen_chunk(kx)
 
@@ -101,7 +114,7 @@ def gen_x(m, n, dtype):
     def gen(k):
         ks = jax.random.split(k, m // chunk)
         _, out = jax.lax.scan(lambda c, kk: (c, gen_chunk(kk)), 0, ks)
-        return out.reshape(m, n)
+        return out.reshape(m, cols)
 
     return gen(kx)
 
@@ -110,13 +123,15 @@ def make_problem(m, n, dtype):
     from vampomi_tpu.ops.operator import DesignMatrix
     from vampomi_tpu.prior.mixture import init_prior
 
-    wd = jnp.float32 if dtype in (jnp.bfloat16, jnp.int8) else dtype
+    wd = jnp.float32 if dtype in (jnp.bfloat16, jnp.int8, jnp.uint8) else dtype
     key = jax.random.PRNGKey(0)
     _, ky, kr = jax.random.split(key, 3)
 
     X = gen_x(m, n, dtype)
-    # per-marker inverse sd: uniform int8 codes have sd 255/sqrt(12)
-    sig = 1.0 / (255.0 / np.sqrt(12.0)) if dtype == jnp.int8 else 1.0
+    # per-marker inverse sd of the uniform synthetic codes:
+    # int8 range 255, int4 range 15 -> sd = range/sqrt(12)
+    sig = {jnp.dtype(jnp.int8): np.sqrt(12.0) / 255.0,
+           jnp.dtype(jnp.uint8): np.sqrt(12.0) / 15.0}.get(jnp.dtype(dtype), 1.0)
     dm = DesignMatrix(
         X=X,
         mave=jnp.zeros(m, dtype=wd),
@@ -156,7 +171,7 @@ def run(m, n, dtype):
     from vampomi_tpu.ops.operator import atx, normal_eq_mult
     from vampomi_tpu.ops.spectral import build_spectral
 
-    solver = "eigen" if dtype == jnp.int8 else "spectral"
+    solver = "eigen" if dtype in (jnp.int8, jnp.uint8) else "spectral"
     dm, y, r1, prior = make_problem(m, n, dtype)
     wd = dm.wd
     gam1 = jnp.asarray(1.0)
@@ -169,7 +184,7 @@ def run(m, n, dtype):
     # ---- north-star metric: LMMSE matvec GB/s (one A^T A v = 2 passes) ----
     # dm must be an ARGUMENT, not a closure capture: captured operands lower
     # as multi-GB inline constants and overflow the remote-compile transport
-    itemsize = jnp.dtype(dtype).itemsize
+    itemsize = 0.5 if dtype == jnp.uint8 else jnp.dtype(dtype).itemsize
     nev = jax.jit(lambda d, v: normal_eq_mult(d, v, gamw, gam1))
     t_mv = time_calls(lambda: nev(dm, r1), k=10)
     matvec_gbps = 2 * m * n * itemsize / t_mv / 1e9
@@ -192,7 +207,8 @@ def run(m, n, dtype):
         # K); regenerate it bit-identically afterwards.  Holding a 10+ GB X
         # next to the build's N^2 transients measured an HBM OOM at the
         # assembly stage.
-        placeholder = jnp.zeros((16384, n), dtype=dtype)
+        placeholder = jnp.zeros(
+            (16384, n // 2 if dtype == jnp.uint8 else n), dtype=dtype)
         dm = dm._replace(X=placeholder)
         import gc
 
@@ -287,6 +303,8 @@ def main() -> None:
         "float32": jnp.float32,
         "bfloat16": jnp.bfloat16,
         "int8": jnp.int8,
+        # packed int4 (two codes/byte): the M ~ 2e6 capacity configuration
+        "int4": jnp.uint8,
     }.get(os.environ.get("VAMPOMI_BENCH_DTYPE", "int8"), jnp.int8)
     m, n = pick_shape(dtype)
     while True:
@@ -310,15 +328,15 @@ def main() -> None:
             gc.collect()
             time.sleep(3.0)
 
-    log(f"shape: M={m}, N={n}, dtype={jnp.dtype(dtype).name}; "
-        f"X = {m*n*jnp.dtype(dtype).itemsize/2**30:.2f} GiB")
+    xbytes = m * n * (0.5 if dtype == jnp.uint8 else jnp.dtype(dtype).itemsize)
+    name = "int4(packed)" if dtype == jnp.uint8 else jnp.dtype(dtype).name
+    log(f"shape: M={m}, N={n}, dtype={name}; X = {xbytes/2**30:.2f} GiB")
     print(
         json.dumps(
             {
                 "metric": "vamp_iter_per_s",
                 "value": round(1.0 / t_ours, 3),
-                "unit": f"full VAMP iterations/s at M={m}, N={n}, "
-                        f"{jnp.dtype(dtype).name}",
+                "unit": f"full VAMP iterations/s at M={m}, N={n}, {name}",
                 "vs_baseline": round(t_ref / t_ours, 3),
                 "matvec_gbps": round(matvec_gbps, 1),
                 "dense_ms": round(t_dense * 1e3, 2),

@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     x = p.add_argument_group("TPU-native extensions")
     x.add_argument("--compute-dtype", default="auto",
                    choices=["auto", "float64", "float32", "bfloat16", "int8",
-                            "f64", "f32", "bf16", "i8"])
+                            "int4", "f64", "f32", "bf16", "i8", "i4"])
     x.add_argument("--seed", type=int, default=0)
     x.add_argument("--lmmse-solver", default="auto",
                    choices=["auto", "cg", "spectral", "eigen"],

@@ -69,7 +69,7 @@ class RunConfig:
     # TPU-native extensions (not present in the reference)
     lmmse_solver: str = "auto"    # auto | cg | spectral (ops/spectral.py)
     spectral_max_n: int = 16384   # auto picks spectral only when N <= this
-    compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16 | int8
+    compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16 | int8 | int4
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
     checkpoint_file: str = ""     # write exact-state .npz after each iteration
     resume_file: str = ""         # resume exactly from a checkpoint .npz
@@ -94,6 +94,11 @@ class RunConfig:
             # quantize_markers): 1 byte/element doubles markers/chip vs bf16
             "int8": jnp.int8,
             "i8": jnp.int8,
+            # packed 4-bit affine codes, two per byte (ops/operator.py
+            # quantize_markers4): ~5 GB at M=1e6 x N=10240 — room for
+            # M ≈ 2e6 markers on one 16 GB chip
+            "int4": jnp.uint8,
+            "i4": jnp.uint8,
         }[self.compute_dtype]
 
     def check(self):

@@ -604,7 +604,10 @@ def infere_linear(
         model="linear",
         solver=solver,
     )
-    itemsize = jnp.dtype(dm.X.dtype).itemsize
+    # bytes per MATRIX ELEMENT an HBM pass moves: 0.5 for the packed
+    # int4 layout (two codes per byte), else the storage itemsize
+    itemsize = (0.5 if dm.X.dtype == jnp.uint8
+                else jnp.dtype(dm.X.dtype).itemsize)
 
     # device→host artifact IO overlaps the next iteration's compute (the
     # relay fetch runs at ~20-25 MB/s — serial fetches would dominate at

@@ -354,7 +354,10 @@ def infere_bin_class(
         model="bin_class",
         solver=solver,
     )
-    itemsize = jnp.dtype(dm.X.dtype).itemsize
+    # bytes per MATRIX ELEMENT an HBM pass moves: 0.5 for the packed
+    # int4 layout (two codes per byte), else the storage itemsize
+    itemsize = (0.5 if dm.X.dtype == jnp.uint8
+                else jnp.dtype(dm.X.dtype).itemsize)
 
     from ..utils.async_writer import AsyncWriter
 

@@ -82,8 +82,16 @@ def build_block_grams(dm: DesignMatrix, block: int = 256) -> jax.Array:
 
     def one(b):
         d = _block_dm(dm, b, block)
-        if dm.X.dtype == jnp.int8:
-            Xq = d.X
+        if dm.X.dtype in (jnp.int8, jnp.uint8):
+            if dm.X.dtype == jnp.uint8:
+                # packed int4: unpack the block's codes to int8 — the
+                # int8-exact product below then covers it (|sum| <= 64 N)
+                from ..ops.operator import unpack_nibbles
+
+                lo, hi = unpack_nibbles(d.X, dtype=jnp.int8)
+                Xq = jnp.concatenate([lo, hi], axis=1)
+            else:
+                Xq = d.X
             S = jax.lax.dot_general(
                 Xq, Xq, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,

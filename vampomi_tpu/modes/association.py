@@ -41,7 +41,8 @@ from scipy.stats import norm, t as student_t
 from ..config import RunConfig
 from ..dataset import Dataset
 from ..io.bin_io import parse_iteration, read_bin_slab, write_bin_slab
-from ..ops.operator import ax
+from ..ops import pallas_matvec
+from ..ops.operator import PACKED4_DTYPE, ax, unpack_nibbles
 
 
 def pvals_se(r1: np.ndarray, gam1: float, n: int) -> np.ndarray:
@@ -72,7 +73,28 @@ def _loo_stats(dm, y_mod):
     X copy materializes); int8 codes are exact in both f32 and bf16, so the
     only rounding on the narrow paths is y_mod → bf16 in the matvec
     (~1e-3 relative on xy, far below the quantizer's own perturbation)."""
-    acc = dm.wd  # f32 for bf16/int8 X, else X's own dtype
+    acc = dm.wd  # f32 for narrow X, else X's own dtype
+    if dm.X.dtype == PACKED4_DTYPE:
+        n2 = dm.X.shape[1]
+        lo, hi = unpack_nibbles(dm.X, dtype=jnp.float32)
+        sumx = (jnp.sum(lo, axis=1) + jnp.sum(hi, axis=1)).astype(jnp.float64)
+        sumsqx = (jnp.sum(lo * lo, axis=1) + jnp.sum(hi * hi, axis=1)).astype(jnp.float64)
+        tm = pallas_matvec.atx_applicable(dm)
+        if tm is not None:
+            # single-device TPU: the packed kernel reads the bytes in place
+            # (the einsum route would materialize the unpacked bf16 halves)
+            xy = pallas_matvec.atx_packed4_raw(
+                dm.X, y_mod.astype(jnp.float32), tm
+            ).astype(jnp.float64)
+        else:
+            yb = y_mod.astype(jnp.bfloat16)
+            xy = (
+                jnp.einsum("mn,n->m", lo.astype(jnp.bfloat16), yb[:n2],
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("mn,n->m", hi.astype(jnp.bfloat16), yb[n2:],
+                             preferred_element_type=jnp.float32)
+            ).astype(jnp.float64)
+        return sumx, sumsqx, xy
     Xa = dm.X.astype(acc)
     sumx = jnp.sum(Xa, axis=1).astype(jnp.float64)
     sumsqx = jnp.sum(Xa * Xa, axis=1).astype(jnp.float64)
@@ -114,7 +136,7 @@ def pvals_loo(
 
     sumx, sumsqx, xy = (np.asarray(a)[:mt] for a in _loo_stats(dm, jnp.asarray(y_mod)))
     xh = x1_hat_scaled_up / np.sqrt(n)
-    quantized = dm.X.dtype == jnp.int8
+    quantized = dm.X.dtype in (jnp.int8, PACKED4_DTYPE)
     if standardized:
         # for a quantized design dm.msig/dm.mave are the code-space folded
         # vectors, so these coefficients are already in code units

@@ -38,13 +38,23 @@ from ..sharding import MARKER_AXIS, distribute, pad_to_multiple
 from . import pallas_matvec
 
 
+# Storage-dtype marker for the packed-int4 design matrix: X holds (M, N/2)
+# bytes, each carrying two 4-bit affine codes (low nibble = sample j, high
+# nibble = sample j + N/2, both biased by +8 into [0, 15]).  4 bits halve
+# HBM bytes again vs int8 — ~5 GB at the M=1e6 x N=10240 north-star shape,
+# i.e. room for M ≈ 2e6 markers on one 16 GB chip — at the cost of a 16-level
+# quantizer (range/15 step vs int8's range/254; see quantize_markers4).
+PACKED4_DTYPE = jnp.uint8
+
+
 class DesignMatrix(NamedTuple):
     """Pytree holding the raw data and the fused standardization vectors.
 
     All vector fields are in the compute dtype; `n`/`mt` are f64 scalars
     (scalar f64 is cheap even when emulated).
 
-    X          : (M_pad, N) raw marker data, sharded over "m".
+    X          : (M_pad, N) raw marker data, sharded over "m" — or
+                 (M_pad, N/2) packed nibbles when dtype is PACKED4_DTYPE.
     mave       : (M_pad,) per-marker mean.
     msig       : (M_pad,) per-marker inverse sd (or 1/sd^alpha); ZERO for
                  padding markers so padded columns of A are exactly 0.
@@ -67,23 +77,38 @@ class DesignMatrix(NamedTuple):
 
     @property
     def n_samples(self) -> int:
-        return self.X.shape[1]
+        k = self.X.shape[1]
+        return 2 * k if self.X.dtype == PACKED4_DTYPE else k
 
     @property
     def wd(self):
-        """Work dtype for vector math: f32 when X is bf16 or int8 (the
-        narrow dtypes buy HBM bandwidth on the big matrix; the small vectors
-        stay f32)."""
+        """Work dtype for vector math: f32 when X is bf16/int8/packed-int4
+        (the narrow dtypes buy HBM bandwidth on the big matrix; the small
+        vectors stay f32)."""
         return (
             jnp.float32
-            if self.X.dtype in (jnp.bfloat16, jnp.int8)
+            if self.X.dtype in (jnp.bfloat16, jnp.int8, PACKED4_DTYPE)
             else self.X.dtype
         )
 
 
 def _accum_dtype(dm: DesignMatrix):
-    # bf16/int8 inputs accumulate in f32 on the MXU; f32/f64 natively.
-    return jnp.float32 if dm.X.dtype in (jnp.bfloat16, jnp.int8) else dm.X.dtype
+    # narrow inputs accumulate in f32 on the MXU; f32/f64 natively.
+    return (
+        jnp.float32
+        if dm.X.dtype in (jnp.bfloat16, jnp.int8, PACKED4_DTYPE)
+        else dm.X.dtype
+    )
+
+
+def unpack_nibbles(Xp: jax.Array, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+    """(lo, hi) code halves of a packed (m, N/2) byte matrix, as `dtype`
+    values in [-8, 7].  lo covers samples [0, N/2), hi covers [N/2, N).
+    4-bit codes are exact in bf16 (and in int8)."""
+    p = Xp.astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(dtype)
+    hi = ((p >> 4) - 8).astype(dtype)
+    return lo, hi
 
 
 def _mxu_operands(dm: DesignMatrix, w):
@@ -113,6 +138,11 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     tools/r4_probe.py) — only the reduce direction (`atx`) gains from a
     Pallas kernel; see ops/pallas_matvec.py.
     """
+    if dm.X.dtype == PACKED4_DTYPE:
+        # K=1 case of the batch path, so the single-vector direction rides
+        # the same Pallas kernel gate (the unpack-einsum fallback would
+        # materialize the bf16 halves at full M on a TPU)
+        return ax_batch(dm, x[:, None])[:, 0]
     w = dm.msig * x.astype(dm.wd)
     Xo, wo = _mxu_operands(dm, w)
     z = jnp.einsum(
@@ -137,8 +167,18 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
     """
     yc = y.astype(dm.wd)
     tm = pallas_matvec.atx_applicable(dm)
-    if tm is not None:
+    if tm is not None and dm.X.dtype == PACKED4_DTYPE:
+        xy = pallas_matvec.atx_packed4_raw(dm.X, yc, tm)
+    elif tm is not None:
         xy = pallas_matvec.atx_int8_raw(dm.X, yc, tm)
+    elif dm.X.dtype == PACKED4_DTYPE:
+        n2 = dm.X.shape[1]
+        lo, hi = unpack_nibbles(dm.X)
+        yb = yc.astype(jnp.bfloat16)
+        xy = (
+            jnp.einsum("mn,n->m", lo, yb[:n2], preferred_element_type=jnp.float32)
+            + jnp.einsum("mn,n->m", hi, yb[n2:], preferred_element_type=jnp.float32)
+        )
     else:
         Xo, yo = _mxu_operands(dm, yc)
         xy = jnp.einsum(
@@ -154,25 +194,51 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
     """A @ xs for xs (M_pad, K) → (N, K). Shares the HBM pass over X across
     the K right-hand sides (the multi-RHS CG building block)."""
     w = dm.msig[:, None] * xs.astype(dm.wd)
-    Xo, wo = _mxu_operands(dm, w)
-    z = jnp.einsum(
-        "mk,mn->nk", wo, Xo,
-        preferred_element_type=_accum_dtype(dm),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if dm.X.dtype == PACKED4_DTYPE:
+        tmk = pallas_matvec.ax_batch_packed4_applicable(dm, xs.shape[1])
+        if tmk is not None:
+            z = pallas_matvec.ax_batch_packed4_raw(dm.X, w, tmk)
+        else:
+            lo, hi = unpack_nibbles(dm.X)
+            wb = w.astype(jnp.bfloat16)
+            z = jnp.concatenate([
+                jnp.einsum("mk,mn->nk", wb, lo, preferred_element_type=jnp.float32),
+                jnp.einsum("mk,mn->nk", wb, hi, preferred_element_type=jnp.float32),
+            ])
+    else:
+        Xo, wo = _mxu_operands(dm, w)
+        z = jnp.einsum(
+            "mk,mn->nk", wo, Xo,
+            preferred_element_type=_accum_dtype(dm),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     corr = dm.mave @ w  # (K,)
     return (z.astype(dm.wd) - corr[None, :].astype(dm.wd)) * dm.inv_sqrt_n
 
 
 def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
-    """A^T @ ys for ys (N, K) → (M_pad, K)."""
+    """A^T @ ys for ys (N, K) → (M_pad, K).
+
+    Packed-int4 note: this direction has no Pallas kernel (the engine's
+    hot eigen path never calls it); its unpack-einsum route materializes
+    the bf16 code halves, so int4 + the multi-RHS CG solver trades HBM
+    for compatibility — use int8 when CG at full M is required."""
     yc = ys.astype(dm.wd)
-    Xo, yo = _mxu_operands(dm, yc)
-    xy = jnp.einsum(
-        "mn,nk->mk", Xo, yo,
-        preferred_element_type=_accum_dtype(dm),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if dm.X.dtype == PACKED4_DTYPE:
+        n2 = dm.X.shape[1]
+        lo, hi = unpack_nibbles(dm.X)
+        yb = yc.astype(jnp.bfloat16)
+        xy = (
+            jnp.einsum("mn,nk->mk", lo, yb[:n2], preferred_element_type=jnp.float32)
+            + jnp.einsum("mn,nk->mk", hi, yb[n2:], preferred_element_type=jnp.float32)
+        )
+    else:
+        Xo, yo = _mxu_operands(dm, yc)
+        xy = jnp.einsum(
+            "mn,nk->mk", Xo, yo,
+            preferred_element_type=_accum_dtype(dm),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     v = dm.msig[:, None] * (xy.astype(dm.wd) - jnp.outer(dm.mave, jnp.sum(yc, axis=0)))
     return v * dm.inv_sqrt_n
 
@@ -212,7 +278,9 @@ def _host_stats(X_raw: np.ndarray, alpha_scale: float):
 
 def _vector_dtype(compute_dtype):
     d = jnp.dtype(compute_dtype)
-    return jnp.float32 if d in (jnp.bfloat16, jnp.dtype(jnp.int8)) else d
+    if d in (jnp.bfloat16, jnp.dtype(jnp.int8), jnp.dtype(PACKED4_DTYPE)):
+        return jnp.float32
+    return d
 
 
 def quantize_markers(X_rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -245,6 +313,37 @@ def quantize_markers(X_rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.nda
         np.rint((X - z[:, None]) / s[:, None]), -127, 127
     ).astype(np.int8)
     return Xq, s, z
+
+
+def quantize_markers4(X_rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-marker affine 4-bit quantization: X ≈ s[:, None] * Xq + z[:, None]
+    with Xq ∈ [-8, 7], s = range/15, z positioned so the row extremes map to
+    the code extremes.  Same folding algebra as quantize_markers (int8) —
+    the codes standardize EXACTLY through the mave/msig vectors — but a
+    16-level quantizer: per-entry error ≤ range/30, i.e. sd-relative noise
+    ~(1/15)/sqrt(12) ≈ 1.9% for full-range markers (vs 0.11% for int8).
+    The payoff is bytes: packed 2-per-byte, M=2e6 × N=10240 fits one chip.
+    """
+    X = np.asarray(X_rows, dtype=np.float64)
+    mn = X.min(axis=1)
+    mx = X.max(axis=1)
+    rng = mx - mn
+    s = np.where(rng > 0.0, rng / 15.0, 1.0)
+    z = np.where(rng > 0.0, mn + 8.0 * s, X[:, 0])  # -8 ↦ mn, +7 ↦ mx
+    Xq = np.clip(
+        np.rint((X - z[:, None]) / s[:, None]), -8, 7
+    ).astype(np.int8)  # constant rows: z = value, s = 1 → codes exactly 0
+    return Xq, s, z
+
+
+def pack_nibbles_host(codes: np.ndarray) -> np.ndarray:
+    """(M, N) int4 codes in [-8, 7] → (M, N/2) packed bytes: low nibble =
+    sample j, high nibble = sample j + N/2, biased by +8 (host numpy)."""
+    m, n = codes.shape
+    if n % 2 != 0:
+        raise ValueError("packed-int4 designs need an even sample count N")
+    b = (codes + 8).astype(np.uint8)
+    return b[:, : n // 2] | (b[:, n // 2 :] << 4)
 
 
 def dequantized_stats(
@@ -321,18 +420,30 @@ def build_design(
     M_pad = pad_to_multiple(Mt_true, n_shards)
 
     cd = np.dtype(compute_dtype)
-    quant = cd == np.dtype(np.int8)
+    packed4 = cd == np.dtype(PACKED4_DTYPE)
+    quant = cd == np.dtype(np.int8) or packed4
     if quant:
-        X_store, qs, qz = quantize_markers(X_raw)
+        X_store, qs, qz = (
+            quantize_markers4(X_raw) if packed4 else quantize_markers(X_raw)
+        )
         if quant_out is not None:
             quant_out["scale"] = qs
             quant_out["zero"] = qz
     else:
         X_store = X_raw
 
+    codes = X_store  # int codes for quantized builds (pre-packing view)
+    if packed4:
+        X_store = pack_nibbles_host(X_store)  # codes → (Mt, N/2) bytes
+    n_cols = X_store.shape[1]
     if M_pad != Mt_true:
-        X_host = np.zeros((M_pad, N), dtype=cd)
+        X_host = np.zeros((M_pad, n_cols), dtype=cd)
         X_host[:Mt_true] = np.asarray(X_store, dtype=cd)
+        if packed4:
+            # padding rows must decode to code 0 (bias 8 in both nibbles);
+            # their msig = 0 zeroes them in every product regardless, but
+            # keeping the decode at 0 also keeps debug dumps sane
+            X_host[Mt_true:] = 0x88
     else:
         X_host = np.asarray(X_store, dtype=cd)
 
@@ -345,7 +456,7 @@ def build_design(
         # statistics of the dequantized values: the stored matrix is then
         # standardized EXACTLY (zero-mean, unit sd^alpha rows)
         mave_host[:Mt_true], msig_host[:Mt_true] = dequantized_stats(
-            X_store, qs, qz, alpha_scale
+            codes, qs, qz, alpha_scale
         )
     else:
         mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
@@ -385,16 +496,20 @@ def build_design_multihost(
     cd = np.dtype(compute_dtype)
     vd = np.dtype(_vector_dtype(compute_dtype))
 
-    if cd == np.dtype(np.int8):
+    if cd in (np.dtype(np.int8), np.dtype(PACKED4_DTYPE)):
         # per-marker quantization is purely row-local: no cross-host state
-        Xq, qs, qz = quantize_markers(local_rows)
+        packed4 = cd == np.dtype(PACKED4_DTYPE)
+        Xq, qs, qz = (
+            quantize_markers4(local_rows) if packed4
+            else quantize_markers(local_rows)
+        )
         if stats is not None:
             mave_l, msig_l = stats
         else:
             mave_l, msig_l = dequantized_stats(Xq, qs, qz, alpha_scale)
         mave_l = (np.asarray(mave_l, dtype=np.float64) - qz) / qs
         msig_l = np.asarray(msig_l, dtype=np.float64) * qs
-        local_rows = Xq
+        local_rows = pack_nibbles_host(Xq) if packed4 else Xq
     else:
         mave_l, msig_l = (
             stats if stats is not None else _host_stats(local_rows, alpha_scale)

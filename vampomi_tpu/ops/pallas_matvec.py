@@ -71,6 +71,91 @@ def atx_int8_raw(Xq: jax.Array, y: jax.Array, tm: int,
     return out[:, 0]
 
 
+def _atx_packed4_kernel(ylo_ref, yhi_ref, x_ref, o_ref):
+    # unpack two 4-bit codes per byte on the VPU: low nibble = sample j,
+    # high nibble = sample j + N/2, both biased by +8 (ops/operator.py
+    # pack_nibbles_host); the int32 temps live only in VMEM for one tile
+    p = x_ref[:].astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(jnp.float32)
+    hi = ((p >> 4) - 8).astype(jnp.float32)
+    o_ref[:] = jnp.sum(lo * ylo_ref[:] + hi * yhi_ref[:], axis=1,
+                       keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
+def atx_packed4_raw(Xp: jax.Array, y: jax.Array, tm: int,
+                    interpret: bool = False) -> jax.Array:
+    """(M, N/2) packed-nibble bytes × (N,) f32 → (M,) f32, exact 4-bit
+    code → f32 upcast.  One HBM pass over HALF the int8 byte count."""
+    m, n2 = Xp.shape
+    yf = y.astype(jnp.float32)
+    out = pl.pallas_call(
+        _atx_packed4_kernel,
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        interpret=interpret,
+    )(yf[:n2].reshape(1, n2), yf[n2:].reshape(1, n2), Xp)
+    return out[:, 0]
+
+
+def _ax_batch_packed4_kernel(w_ref, x_ref, olo_ref, ohi_ref, *, mul_dtype):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        olo_ref[:] = jnp.zeros_like(olo_ref)
+        ohi_ref[:] = jnp.zeros_like(ohi_ref)
+
+    p = x_ref[:].astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(mul_dtype)
+    hi = ((p >> 4) - 8).astype(mul_dtype)
+    wb = w_ref[:].astype(mul_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    olo_ref[:] += jax.lax.dot_general(
+        wb, lo, dn, preferred_element_type=jnp.float32)
+    ohi_ref[:] += jax.lax.dot_general(
+        wb, hi, dn, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tmk", "interpret"))
+def ax_batch_packed4_raw(Xp: jax.Array, w: jax.Array, tmk: tuple[int, int],
+                         interpret: bool = False) -> jax.Array:
+    """(M, N/2) packed bytes contracted with (M, K) weights → (N, K) f32.
+
+    The weighted broadcast direction of the engine iteration (ax_batch K=2,
+    engine/linear.py); codes unpack to bf16 (exact — 4-bit values) and hit
+    the MXU, so the byte stream over X is HALF the int8 rate for the same
+    marker count."""
+    tm, k = tmk
+    m, n2 = Xp.shape
+    # bf16 multiplies on the real MXU (4-bit codes are exact there); the
+    # CPU interpreter lacks bf16 dots, so interpret mode multiplies in f32
+    mul = jnp.float32 if interpret else jnp.bfloat16
+    lo, hi = pl.pallas_call(
+        functools.partial(_ax_batch_packed4_kernel, mul_dtype=mul),
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((k, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, n2), jnp.float32),
+            jax.ShapeDtypeStruct((k, n2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(w.T.reshape(k, m), Xp)
+    return jnp.concatenate([lo, hi], axis=1).T  # (N, K)
+
+
 def pick_tile(m: int, n: int) -> int | None:
     """Largest tile (<= _TM rows, VMEM-safe) dividing m, or None if the
     shape doesn't tile (fallback to the einsum)."""
@@ -82,11 +167,25 @@ def pick_tile(m: int, n: int) -> int | None:
 
 def atx_applicable(dm) -> int | None:
     """The tile size when the Pallas path handles this DesignMatrix, else
-    None.  Every condition is static at trace time: int8 dtype, a single
-    TPU device (multi-device meshes keep the einsum + psum route; the
-    8-device CPU test mesh never enters), and a tileable shape."""
-    if dm.X.dtype != jnp.int8:
+    None.  Every condition is static at trace time: a quantized dtype
+    (int8, or uint8 = packed int4), a single TPU device (multi-device
+    meshes keep the einsum + psum route; the 8-device CPU test mesh never
+    enters), and a tileable shape."""
+    if dm.X.dtype not in (jnp.int8, jnp.uint8):
         return None
     if jax.default_backend() != "tpu" or jax.device_count() != 1:
         return None
     return pick_tile(*dm.X.shape)
+
+
+def ax_batch_packed4_applicable(dm, k: int) -> tuple[int, int] | None:
+    """(tile, K) when the packed-int4 Pallas broadcast kernel applies.
+    K is capped so the (K, tile) weight block and the two (K, N/2)
+    accumulators stay a small fraction of VMEM; larger K (CG multi-RHS)
+    falls back to the unpack-einsum route."""
+    if dm.X.dtype != jnp.uint8 or k > 8:
+        return None
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return None
+    tm = pick_tile(*dm.X.shape)
+    return (tm, k) if tm is not None else None

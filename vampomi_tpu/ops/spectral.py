@@ -86,7 +86,9 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
     msig = 0 and drop out exactly.  Blocked over markers so the w^2-scaled
     copy of X never materializes at full size.
     """
-    Ml, N = Xl.shape
+    packed4 = Xl.dtype == jnp.uint8  # packed int4: two codes per byte
+    Ml, n_cols = Xl.shape
+    N = 2 * n_cols if packed4 else n_cols
     w2 = (msigl * msigl).astype(acc_dtype)
     u = w2 * mavel.astype(acc_dtype)
 
@@ -96,9 +98,16 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
     G = jnp.zeros((N, N), dtype=acc_dtype)
     t = jnp.zeros((N,), dtype=acc_dtype)
 
-    narrow = Xl.dtype in (jnp.bfloat16, jnp.int8)
+    narrow = packed4 or Xl.dtype in (jnp.bfloat16, jnp.int8)
 
     def piece(Xb, w2b, ub):
+        if packed4:
+            # per-block unpack to bf16 (4-bit codes are exact there): the
+            # full-width block never exceeds (block, N) bf16 transients
+            from .operator import unpack_nibbles
+
+            lo, hi = unpack_nibbles(Xb)
+            Xb = jnp.concatenate([lo, hi], axis=1)
         if narrow:
             # bf16/int8 X: weight one side in bf16 and contract bf16 x bf16
             # with f32 accumulation — a SINGLE exact MXU pass (bf16 products
@@ -134,7 +143,7 @@ def _gram_pieces_local(Xl, msigl, mavel, acc_dtype, block: int):
         return Gb, tb
 
     if main > 0:
-        Xm = Xl[:main].reshape(-1, block, N)
+        Xm = Xl[:main].reshape(-1, block, n_cols)
         w2m = w2[:main].reshape(-1, block)
         um = u[:main].reshape(-1, block)
 
