@@ -142,15 +142,19 @@ def main():
         "prior fixed.  Truth scores, never informs."
     )
 
-    path = os.path.join(_ROOT, "PRODUCTION_RUN.json")
-    try:
-        full = json.load(open(path))
-    except Exception:
-        full = {}
-    full["gibbs_warmstart_r03"] = out
-    with open(path, "w") as f:
-        json.dump(full, f, indent=1)
-    print(f"wrote {path}")
+    if small:
+        # smoke configuration: never overwrite the production artifact
+        print(json.dumps(out, indent=1))
+    else:
+        path = os.path.join(_ROOT, "PRODUCTION_RUN.json")
+        try:
+            full = json.load(open(path))
+        except Exception:
+            full = {}
+        full["gibbs_warmstart_r03"] = out
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"wrote {path}")
 
     if "--keep" not in sys.argv:
         import shutil
