@@ -125,7 +125,7 @@ def gibbs_run(tmp_path_factory):
     dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
     out = str(tmp_path_factory.mktemp("gibbs"))
     res = run_gibbs(dm, y, iterations=300, burnin=150, l_comp=4, block=64,
-                    thin=5, seed=4, out_dir=out, out_name="g", verbose=False)
+                    seed=4, out_dir=out, out_name="g", verbose=False)
     return fx, y, res
 
 
@@ -160,10 +160,20 @@ def test_gibbs_outputs_feed_consumers(gibbs_run):
     assert 0.3 < conf["h2"] < 1.0
     assert conf["vars"][0] == 0.0 and conf["vars"][-1] > 0.0
 
-    pip = pipmod.compute_pip(res.bet_path, 30, 60)
+    # thin=1 (default) matches the reference pip.py normalization: it counts
+    # records with it >= start among the first `end` (1-based sweeps, so the
+    # window is CLOSED: end-start+1 records) and divides by end-start — an
+    # always-included marker reads 151/150, the reference tool's own off-by-
+    # one, preserved for parity
+    pip = pipmod.compute_pip(res.bet_path, 150, 300)
     assert pip.shape == (256,)
+    assert pip.max() <= 151.0 / 150.0 + 1e-12 and pip.min() >= 0.0
     causal = fx.beta != 0
     assert pip[causal].mean() > pip[~causal].mean()
+    # and it agrees with the runner's own in-window PIP accumulator up to
+    # the boundary sweep (pip.py's window is closed at `start`; the
+    # runner's is open at `burnin`)
+    np.testing.assert_allclose(pip, res.pip, atol=1.0 / 150 + 1e-12)
 
 
 def test_gibbs_bet_format(gibbs_run):
@@ -175,6 +185,6 @@ def test_gibbs_bet_format(gibbs_run):
         (m,) = struct.unpack("I", f.read(4))
         assert m == 256
         (it1,) = struct.unpack("I", f.read(4))
-        assert it1 == 5  # thin=5
+        assert it1 == 1  # thin=1 default: every sweep present
         rec = np.frombuffer(f.read(m * 8), dtype="<f8")
         assert rec.shape == (256,)

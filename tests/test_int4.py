@@ -67,7 +67,8 @@ def test_operator_matches_dequantized_oracle(small_fixture):
     m, n = X.shape
     dm = build_design(X, compute_dtype=PACKED4_DTYPE)
     assert dm.X.dtype == jnp.uint8 and dm.X.shape == (m, n // 2)
-    assert dm.wd == jnp.float32 and dm.n_samples == n
+    assert dm.wd == jnp.float32 and int(dm.n) == n
+    assert dm.X.shape[1] == n // 2  # two codes per byte
 
     A, *_ = dequantized_A(X)  # (M, N)
     rng = np.random.default_rng(0)

@@ -64,7 +64,8 @@ def main():
     t0 = time.time()
     res_g = run_gibbs(
         ds.dm, ds.phen.y, iterations=sweeps, burnin=sweeps // 2,
-        l_comp=4, block=256, thin=10, h2_init=0.5, seed=5,
+        l_comp=4, block=256, thin=10,  # .bet unused here (conf needs CSV+grm only)
+        h2_init=0.5, seed=5,
         out_dir=workdir, out_name="mcmc",
     )
     gibbs_secs = time.time() - t0

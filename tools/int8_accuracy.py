@@ -53,11 +53,26 @@ def run_one(fx, dtype, cfg):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    qname = "int4" if "--dtype" in sys.argv and "int4" in sys.argv else "int8"
-    m = int(args[0]) if len(args) > 0 else 65536
-    n = int(args[1]) if len(args) > 1 else 4096
-    iters = int(args[2]) if len(args) > 2 else 10
+    argv = sys.argv[1:]
+    qname = "int8"
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--dtype":
+            qname = argv[i + 1]
+            i += 2
+        elif a.startswith("--dtype="):
+            qname = a.split("=", 1)[1]
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
+    if qname not in ("int8", "int4"):
+        raise SystemExit(f"--dtype must be int8 or int4, got {qname!r}")
+    m = int(pos[0]) if len(pos) > 0 else 65536
+    n = int(pos[1]) if len(pos) > 1 else 4096
+    iters = int(pos[2]) if len(pos) > 2 else 10
 
     from vampomi_tpu.ops.operator import PACKED4_DTYPE
 

@@ -113,11 +113,25 @@ def load_dataset(
     # via make_array_from_process_local_data inside build_design_multihost.
     from .ops.operator import build_design_multihost
 
+    qinfo = {}
     dm = build_design_multihost(
         local, lo, mt, m_pad, n, mesh, compute_dtype, alpha_scale,
-        stats=stats,
+        stats=stats, quant_out=qinfo,
     )
-    return Dataset(dm=dm, phen=phen, covariates=covs)
+    qscale = None
+    if "scale_local" in qinfo:
+        # every process needs the GLOBAL scale (the LOO add-back indexes
+        # markers globally); shards are contiguous per process, so an
+        # allgather + flatten reconstructs marker order
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            qscale = np.asarray(
+                multihost_utils.process_allgather(qinfo["scale_local"])
+            ).reshape(-1)[:mt]
+        else:
+            qscale = qinfo["scale_local"][:mt]
+    return Dataset(dm=dm, phen=phen, covariates=covs, qscale=qscale)
 
 
 def rank_slab(mt: int) -> tuple[int, int]:

@@ -37,7 +37,7 @@ def main(argv=None):
     p.add_argument("--num-mix-comp", type=int, default=4,
                    help="mixture size L incl. the spike (decade ladder)")
     p.add_argument("--block", type=int, default=256)
-    p.add_argument("--thin", type=int, default=5)
+    p.add_argument("--thin", type=int, default=1)  # thin>1 breaks reference pip.py normalization
     p.add_argument("--h2", type=float, default=0.5, help="h2 init guess")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--alpha-scale", type=float, default=1.0)

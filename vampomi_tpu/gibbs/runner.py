@@ -1,12 +1,16 @@
 """Host loop + GMRM-format outputs for the Gibbs sampler.
 
 Output contracts (what the reference's consumers parse):
-  - CSV, one row per sweep (scripts/conf_gibbs_init.py reads cols 4, 5, 7,
-    8..8+L-1): [iteration, sigma_g_file, sigma_e, mu, h2, m_incl, vg, L,
-    pi_0..pi_{L-1}] — columns 0-3 and 6 are informational, matching the
-    consumer's positional expectations.
-  - .bet stream (scripts/pip.py): uint32 marker count, then per THINNED
-    sweep [uint32 iteration, Mt float64 betas] in FILE units (beta = x/√N).
+  - CSV, one row per sweep, GMRM column convention (the reference's
+    conf_gibbs_init parses row[2]=sigma_g, row[3]=sigma_e, row[4]=h2,
+    row[5]=m_incl, row[7]=L, row[8+i]=pi_i — /root/reference/scripts/
+    conf_gibbs_init.py:70-78): [iteration, mu, sigma_g_file, sigma_e, h2,
+    m_incl, vg, L, pi_0..pi_{L-1}] — columns 1 and 6 are informational.
+  - .bet stream (scripts/pip.py): uint32 marker count, then per sweep
+    [uint32 iteration, Mt float64 betas] in FILE units (beta = x/√N).
+    `thin` > 1 keeps only every thin-th sweep — note the reference pip.py
+    normalizes PIP by the ITERATION-number span, so feed it thin=1 streams
+    (the default) or scale its output by `thin` yourself.
   - .grm group-mixtures file (conf_gibbs_init -grm): one line of
     space-separated FILE-unit component variances — the posterior-mean
     sigma_g times the ladder ratios — so the emitted .conf carries a fully
@@ -55,7 +59,7 @@ def run_gibbs(
     burnin: int | None = None,
     l_comp: int = 4,
     block: int = 256,
-    thin: int = 5,
+    thin: int = 1,
     h2_init: float = 0.5,
     seed: int = 0,
     out_dir: str | None = None,
@@ -117,7 +121,7 @@ def run_gibbs(
         pi = np.asarray(state.pi, dtype=np.float64)
 
         if csv_f is not None:
-            row = [it, f"{sg:.10g}", f"{se:.10g}", f"{float(state.mu):.10g}",
+            row = [it, f"{float(state.mu):.10g}", f"{sg:.10g}", f"{se:.10g}",
                    f"{h2:.10g}", m_incl, f"{float(vg):.10g}", l_comp]
             row += [f"{p:.12f}" for p in pi]
             csv_f.write(",".join(str(v) for v in row) + "\n")

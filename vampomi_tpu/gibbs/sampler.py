@@ -190,8 +190,11 @@ def gibbs_sweep(
         xb0 = jax.lax.dynamic_slice_in_dim(x, b * block, block, 0)
         kb = jax.random.fold_in(key, b)
         ku, kz = jax.random.split(kb)
-        u = jax.random.uniform(ku, (block,), dtype=jnp.float64)
-        z = jax.random.normal(kz, (block,), dtype=jnp.float64)
+        # work-dtype randoms (consumed as scalars in block_update; f32
+        # resolution is far below MC error) — no M-length f64 vectors on
+        # device (CLAUDE.md dtype policy)
+        u = jax.random.uniform(ku, (block,), dtype=wd)
+        z = jax.random.normal(kz, (block,), dtype=wd)
         Gb = grams[b]
         xb, compb = block_update(
             Gb, r0, xb0, d.mmask, u, z, state.pi, cvars,
@@ -208,23 +211,27 @@ def gibbs_sweep(
     )
 
     # ---- intercept: mu | rest ~ N(mean(y_resid + mu), sigma_e / N) ----
+    # vector math in the work dtype, scalars promoted to f64 at the
+    # reduction boundary (house convention — engine/linear.py:132)
     key, kmu = jax.random.split(key)
-    resid_mean = jnp.mean(y_resid.astype(jnp.float64)) + state.mu
+    resid_mean = jnp.mean(y_resid).astype(jnp.float64) + state.mu
     mu = resid_mean + jnp.sqrt(state.sigma_e / n) * jax.random.normal(
         kmu, dtype=jnp.float64)
     y_resid = y_resid + (state.mu - mu).astype(wd)
 
     # ---- counts and sufficient stats (masked M-length reductions) ----
     l_comp = cvars.shape[0]
-    onehot = (comp[:, None] == jnp.arange(l_comp)[None, :]).astype(jnp.float64)
-    onehot = onehot * dm.mmask[:, None].astype(jnp.float64)
-    counts = jnp.sum(onehot, axis=0)                    # (L,)
+    mask_wd = dm.mmask.astype(wd)
+    onehot = (comp[:, None] == jnp.arange(l_comp)[None, :]).astype(wd)
+    onehot = onehot * mask_wd[:, None]
+    # f32 sums count exactly up to 2^24 markers per component
+    counts = jnp.sum(onehot, axis=0).astype(jnp.float64)   # (L,)
     m_incl = jnp.sum(counts[1:])
 
-    x64 = x.astype(jnp.float64)
-    safe_c = jnp.where(cvars > 0.0, cvars, 1.0)
-    xsq_over_c = jnp.where(comp > 0, x64 * x64 / safe_c[comp], 0.0)
-    ssq_g = jnp.sum(xsq_over_c)
+    xw = x.astype(wd)
+    safe_c = jnp.where(cvars > 0.0, cvars, 1.0).astype(wd)  # (L,)
+    xsq_over_c = jnp.where(comp > 0, xw * xw / safe_c[comp], 0.0)
+    ssq_g = jnp.sum(xsq_over_c).astype(jnp.float64)
 
     # ---- sigma_g ~ scaled-inv-chi2(nu0 + m_incl, (ssq + nu0 s0)/(df)) ----
     key, kg, ke, kp = jax.random.split(key, 4)
@@ -232,7 +239,7 @@ def gibbs_sweep(
     chi_g = 2.0 * jax.random.gamma(kg, df_g / 2.0, dtype=jnp.float64)
     sigma_g = (ssq_g + nu0 * s0_g) / jnp.maximum(chi_g, 1e-12)
 
-    rss = jnp.dot(y_resid.astype(jnp.float64), y_resid.astype(jnp.float64))
+    rss = jnp.dot(y_resid, y_resid).astype(jnp.float64)
     df_e = nu0 + n
     chi_e = 2.0 * jax.random.gamma(ke, df_e / 2.0, dtype=jnp.float64)
     sigma_e = (rss + nu0 * s0_e) / jnp.maximum(chi_e, 1e-12)
@@ -249,8 +256,9 @@ def gibbs_sweep(
 def sweep_stats(dm: DesignMatrix, state: GibbsState, y):
     """(h2, m_incl, vg) for the CSV row: vg = ||A x||^2 / N (A columns are
     exactly mean-zero, so this is the variance of the fitted genetic term)."""
-    g = y.astype(jnp.float64) - state.mu - state.y_resid.astype(jnp.float64)
-    vg = jnp.dot(g, g) / g.shape[0]
+    wd = state.y_resid.dtype
+    g = y.astype(wd) - state.mu.astype(wd) - state.y_resid
+    vg = jnp.dot(g, g).astype(jnp.float64) / g.shape[0]
     h2 = vg / (vg + state.sigma_e)
     m_incl = jnp.sum((state.comp > 0) & (dm.mmask > 0.0))
     return h2, m_incl, vg

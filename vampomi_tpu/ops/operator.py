@@ -76,11 +76,6 @@ class DesignMatrix(NamedTuple):
         return self.X.shape[0]
 
     @property
-    def n_samples(self) -> int:
-        k = self.X.shape[1]
-        return 2 * k if self.X.dtype == PACKED4_DTYPE else k
-
-    @property
     def wd(self):
         """Work dtype for vector math: f32 when X is bf16/int8/packed-int4
         (the narrow dtypes buy HBM bandwidth on the big matrix; the small
@@ -481,12 +476,16 @@ def build_design_multihost(
     compute_dtype,
     alpha_scale: float = 1.0,
     stats: tuple[np.ndarray, np.ndarray] | None = None,
+    quant_out: dict | None = None,
 ) -> DesignMatrix:
     """Multi-host construction: each process contributes its contiguous block
     of padded marker rows (marker statistics are per-row, so no cross-host
     reduction is needed — N is always fully local, like the reference's
     data.cpp:295,342).  `stats` = fused-ingest (mave, msig) for the local
-    rows, as in build_design."""
+    rows, as in build_design.  `quant_out`, when given, receives the
+    LOCAL per-marker dequantization scale under "scale_local" for
+    quantized dtypes (callers gather it across processes — Dataset.qscale
+    is global)."""
     from jax.sharding import NamedSharding
 
     per = local_rows.shape[0]
@@ -509,6 +508,8 @@ def build_design_multihost(
             mave_l, msig_l = dequantized_stats(Xq, qs, qz, alpha_scale)
         mave_l = (np.asarray(mave_l, dtype=np.float64) - qz) / qs
         msig_l = np.asarray(msig_l, dtype=np.float64) * qs
+        if quant_out is not None:
+            quant_out["scale_local"] = np.asarray(qs, dtype=np.float64)
         local_rows = pack_nibbles_host(Xq) if packed4 else Xq
     else:
         mave_l, msig_l = (

@@ -36,8 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (TM, N) int8 tile = TM*N bytes; TM=512 at N=10240 is 5.2 MB, double-
 # buffered by the pipeline -> ~10.5 MB of the 16 MB scoped VMEM (TM=1024
 # exceeds it — measured compile OOM).  TM=256 and 512 measure identically.
+# The cap bounds the DOUBLE-BUFFERED footprint: 6 MB/tile -> 12 MB + the
+# y/output blocks stays inside the 16 MB scoped VMEM (an 8 MB tile would
+# double-buffer to the measured-OOM regime).
 _TM = 512
-_MAX_TILE_BYTES = 8 * 1024 * 1024
+_MAX_TILE_BYTES = 6 * 1024 * 1024
 
 
 def _atx_kernel(y_ref, x_ref, o_ref):
