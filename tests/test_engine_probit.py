@@ -82,3 +82,22 @@ def test_probit_shard_invariance(probit_problem, tmp_path, mesh8):
     r1 = infere_bin_class(dm1, ybin, cfg, true_signal=fx.beta, write_outputs=False)
     r8 = infere_bin_class(dm8, ybin, cfg, true_signal=fx.beta, write_outputs=False)
     np.testing.assert_allclose(r8.x1_hat_scaled, r1.x1_hat_scaled, rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, "int4"])
+def test_probit_quantized_design(probit_problem, tmp_path, dtype):
+    """The probit engine runs on quantized designs (same operator path as
+    linear; the quantizer only perturbs X)."""
+    from vampomi_tpu.ops.operator import PACKED4_DTYPE
+
+    fx, ybin = probit_problem
+    dm = build_design(
+        fx.X.T, mesh=None,
+        compute_dtype=PACKED4_DTYPE if dtype == "int4" else dtype,
+    )
+    cfg = probit_cfg(tmp_path, out_name=f"pbq_{dtype}")
+    res = infere_bin_class(dm, ybin, cfg, true_signal=fx.beta,
+                           write_outputs=False)
+    final = res.metrics_history[-1]
+    assert final[4] > 0.7, f"denoiser accuracy {final[4]}"
+    assert final[5] > 0.6, f"x1 corr {final[5]}"
