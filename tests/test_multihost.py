@@ -44,6 +44,12 @@ WORKER = textwrap.dedent("""
     res = infere_linear(ds.dm, ds.phen.y, cfg, true_signal=ts,
                         write_outputs=True)
     print("GAMW", repr(res.gamw))
+    # quantized load: every process must see the GLOBAL dequantization
+    # scale (allgathered), not just its slab's
+    ds8 = load_dataset(work + "/ex.bin", work + "/ex.phen", 120, 160,
+                       "linear", mesh, jnp.int8)
+    assert ds8.qscale is not None and ds8.qscale.shape == (160,)
+    print("QSCALESUM", repr(float(np.sum(ds8.qscale))))
 """).replace("__REPO__", REPO)
 
 
@@ -86,6 +92,8 @@ def test_two_process_run_matches_single(tmp_path):
                 assert p.returncode == 0, o[-2000:]
     gamws = [float(o.split("GAMW")[1].split()[0]) for o in outs]
     assert gamws[0] == gamws[1]
+    qsums = [float(o.split("QSCALESUM")[1].split()[0]) for o in outs]
+    assert qsums[0] == qsums[1]
 
     # single-process run over the 8-device mesh in THIS process
     mesh = make_mesh()
@@ -99,6 +107,10 @@ def test_two_process_run_matches_single(tmp_path):
                         write_outputs=True)
 
     assert abs(res.gamw - gamws[0]) / res.gamw < 1e-9
+    # the 2-process allgathered qscale equals the single-process one
+    ds8 = load_dataset(f"{work}/ex.bin", f"{work}/ex.phen", 120, 160,
+                       "linear", mesh, jnp.int8)
+    assert abs(float(np.sum(ds8.qscale)) - qsums[0]) < 1e-12
     # artifact files written by the two processes' slab writes match the
     # single-process files to fp reduction order
     for f in ("it_3.bin", "r1_it_3.bin"):
