@@ -100,9 +100,13 @@ class EigenFactor(NamedTuple):
 
 
 # --------------------------------------------------------------------------
-# small device helpers (eager by design: block shapes vary per recursion
-# node, and per-op dispatch is far cheaper than per-shape jit compiles on
-# the remote-compile TPU platform; the hot fixed-shape pieces are jitted)
+# device helpers.  EVERYTHING that touches device data is a fixed-shape jit:
+# on the axon remote-compile platform each new (op, shape) pair is a multi-
+# second compile and even a cached eager dispatch costs ~0.15 s, so the
+# host-driven recursion keeps a small closed set of jitted kernels whose
+# shapes are quantized across the whole tree (see build_eigen docstring).
+# A first draft with eager glue measured ~1500 compiles / 184 s warm for a
+# build whose MXU work is ~2 s; this formulation is ~60 compiles.
 # --------------------------------------------------------------------------
 
 
@@ -111,14 +115,109 @@ def _hp():
 
 
 @jax.jit
+def _trace_jit(Kb):
+    return jnp.trace(Kb)
+
+
+@jax.jit
+def _sign_init(Kb, dvec, inv_alpha):
+    """X0 = (diag(dvec) - Kb) * inv_alpha with dvec = sigma - padvec: the
+    scaled sign-iteration seed, pads already shifted above the window."""
+    return (jnp.diag(dvec) - Kb) * inv_alpha
+
+
+@jax.jit
 def _ns_step(X, a, b):
     """One scaled Newton-Schulz sign step  X <- a X - b X^3  plus the
-    row-sum-of-squares diagnostic diag(X^2) (X symmetric)."""
+    convergence diagnostic max|diag(X^2) - 1| of the INPUT X (X symmetric)."""
     with _hp():
         X2 = X @ X
         Xn = a * X - b * (X @ X2)
     d = jnp.sum(X * X, axis=1)
-    return Xn, d
+    return Xn, jnp.max(jnp.abs(d - 1.0))
+
+
+@jax.jit
+def _sign_finish(X, rmask):
+    """Symmetrize the converged sign, form both spectral projectors and the
+    sign trace in one dispatch.  rmask is 1 on real coordinates, 0 on pads:
+    the high-side projector P2 is masked exactly (the sign of the block-
+    diagonal padded matrix is block-diagonal, so zeroing pad rows+cols
+    removes exactly the pad directions)."""
+    Xs = 0.5 * (X + X.T)
+    r = X.shape[0]
+    eye_half = 0.5 * jnp.eye(r, dtype=X.dtype)
+    P1 = eye_half + 0.5 * Xs
+    P2 = (eye_half - 0.5 * Xs) * rmask[:, None] * rmask[None, :]
+    return P1, P2, jnp.trace(Xs)
+
+
+@jax.jit
+def _compress(Kb, Ub, Q):
+    """Child block K1 = Q^T Kb Q (symmetrized) and accumulated basis
+    U1 = Ub Q, one dispatch.  Q's trailing columns are exactly zero, so the
+    child arrives pre-padded (zero rows/cols past the real rank)."""
+    with _hp():
+        KQ = Kb @ Q
+        K1 = Q.T @ KQ
+        U1 = Ub @ Q
+    return 0.5 * (K1 + K1.T), U1
+
+
+@jax.jit
+def _compress_root(Kb, Q):
+    """_compress for the root node (accumulated basis is Q itself)."""
+    with _hp():
+        KQ = Kb @ Q
+        K1 = Q.T @ KQ
+    return 0.5 * (K1 + K1.T), Q
+
+
+@jax.jit
+def _project_slab(P, Qacc, G):
+    """Y = (I - Qacc Qacc^T) P G — project a slab into range(P) and
+    orthogonalize against the accumulated basis (zero columns inert)."""
+    with _hp():
+        Y = P @ G
+        Y = Y - Qacc @ (Qacc.T @ Y)
+    return Y
+
+
+@jax.jit
+def _gram_jit(Y):
+    with _hp():
+        return Y.T @ Y
+
+
+@jax.jit
+def _mix_jit(Y, T):
+    with _hp():
+        return Y @ T
+
+
+@jax.jit
+def _slab_write(Qacc, Qc, off):
+    return jax.lax.dynamic_update_slice(Qacc, Qc, (0, off))
+
+
+@jax.jit
+def _leaf_mix(Ub, Vp):
+    with _hp():
+        return Ub @ Vp
+
+
+@jax.jit
+def _rayleigh_jit(K, U):
+    """Rayleigh values diag(U^T K U), the residual ||KU - U lam||/||K||,
+    and max|U^T U - I|, fused into one dispatch."""
+    with _hp():
+        KU = K @ U
+        lam_r = jnp.einsum("ni,ni->i", U, KU)
+        resid = jnp.linalg.norm(KU - U * lam_r[None, :]) / jnp.linalg.norm(K)
+        G = U.T @ U
+    n = K.shape[0]
+    ortho = jnp.max(jnp.abs(G - jnp.eye(n, dtype=K.dtype)))
+    return lam_r, resid, ortho
 
 
 def _ns_coeffs(ell: float) -> tuple[float, float, float]:
@@ -141,8 +240,11 @@ def _ns_coeffs(ell: float) -> tuple[float, float, float]:
     return a, b, min(ell_new, 1.0)
 
 
-def _matrix_sign(Kb, sigma, alpha, ell0, max_iter=40, tol=None):
-    """sign((sigma I - Kb)/alpha) by the scaled NS cubic.
+def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None):
+    """sign((diag(dvec + ...) - Kb)/alpha) by the scaled NS cubic, where
+    dvec = sigma - padvec folds the split point and the pad shift into one
+    diagonal (see build_eigen).  Returns the UNSYMMETRIZED iterate; the
+    caller finishes with _sign_finish.
 
     ell0 is a conservative guess of the smallest |eigenvalue| after
     scaling; if the true gap at sigma is smaller, the tracked bound is
@@ -150,41 +252,45 @@ def _matrix_sign(Kb, sigma, alpha, ell0, max_iter=40, tol=None):
     diag(X^2)) finishes the job.  Unconverged modes sit exactly at the
     split and are benign (see module docstring).
     """
-    r = Kb.shape[0]
     wd = Kb.dtype
     if tol is None:
         tol = 3e-4 if wd == jnp.float32 else 1e-10
-    X = (sigma * jnp.eye(r, dtype=wd) - Kb) / jnp.asarray(alpha, dtype=wd)
+    X = _sign_init(Kb, dvec, jnp.asarray(1.0 / alpha, dtype=wd))
     ell = ell0
     it = 0
     while ell < 0.92 and it < max_iter:
         a, b, ell = _ns_coeffs(ell)
         X, _ = _ns_step(X, jnp.asarray(a, wd), jnp.asarray(b, wd))
         it += 1
-    # polish with plain NS until diag(X^2) ~ 1
+    # polish with plain NS until diag(X^2) ~ 1 (one scalar fetch per step)
     while it < max_iter:
-        X, d = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
+        X, errd = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
         it += 1
-        err = float(jnp.max(jnp.abs(d - 1.0)))
-        if err < tol:
+        if float(errd) < tol:
             break
-    X = 0.5 * (X + X.T)
     return X
 
 
-def _orth_small(Y, k, passes=2):
-    """Orthonormal (r, k) basis of Y's dominant range via host f64 eigh of
-    the small Gram (rank-deficiency-safe where CholQR is not).  Y must be
-    narrow (<= ~520 columns) — the Gram fetch is then ~1 MB."""
+def _orth_small_fixed(Y, k, passes=2):
+    """Orthonormal rank-k basis of Y's dominant range via host f64 eigh of
+    the small Gram (rank-deficiency-safe where CholQR is not).
+
+    Fixed-shape formulation: Y keeps its full slab width cw through every
+    pass (valid data in some leading columns, exact zeros beyond — zero
+    columns contribute a zero block to the Gram, whose top-k eigenpairs are
+    those of the real block with zero components on the pad coordinates).
+    Returns (r, cw) with the orthonormal basis in the FIRST k columns and
+    exact zeros beyond, so downstream matmuls keep one compile-cache shape.
+    The Gram fetch is ~3.6 MB at cw = 968."""
+    cw = Y.shape[1]
     for _ in range(passes):
-        with _hp():
-            G = Y.T @ Y
+        G = _gram_jit(Y)
         Gh = np.asarray(jax.device_get(G), dtype=np.float64)
         Gh = 0.5 * (Gh + Gh.T)
         ev, V = np.linalg.eigh(Gh)
-        top = V[:, -k:] / np.sqrt(np.maximum(ev[-k:], 1e-300))
-        with _hp():
-            Y = Y @ jnp.asarray(top, dtype=Y.dtype)
+        T = np.zeros((cw, cw))
+        T[:, :k] = V[:, -k:] / np.sqrt(np.maximum(ev[-k:], 1e-300))
+        Y = _mix_jit(Y, jnp.asarray(T, dtype=Y.dtype))
     return Y
 
 
@@ -229,7 +335,7 @@ _CHUNK = 448  # device-CholQR chunk width (host finishes the last <=512)
 
 
 def _orth_range(P, k, key):
-    """Orthonormal (r, k) basis of the rank-k range of the (approximate)
+    """Orthonormal rank-k basis of the range of the (approximate)
     projector P, by blocked randomized Gram-Schmidt.
 
     Full-width randomized CholQR is ill-conditioned when the sample count
@@ -238,36 +344,34 @@ def _orth_range(P, k, key):
     built in _CHUNK-wide slabs (each slab's random projection into the
     REMAINING range is a fat rectangular Gaussian — well-conditioned for
     device CholQR2), with the final <=512-wide slab finished by the
-    rank-safe host eigh-of-Gram path."""
+    rank-safe host eigh-of-Gram path.
+
+    Returns (Qacc, kq): the FULL quantized-width (r, kq) buffer with the
+    basis in the first k columns and exact zeros beyond.  Handing the
+    quantized buffer (not a [:, :k] slice) to _compress keeps every big
+    matmul in the tree on one of ~N/1024 compile-cache shapes, and makes
+    the child block arrive pre-padded (kq - k zero rows/cols)."""
     r = P.shape[0]
-    # accumulated basis lives in a quantized-width buffer (zero columns are
-    # inert in the projections) so every big matmul shape repeats across
-    # the whole tree and across runs (compile cache)
-    kq = ((k + 1023) // 1024) * 1024
-    kq = min(kq, ((r + 1023) // 1024) * 1024)
+    cw = min(2 * 512 - 56, r)  # fixed sample/slab width for this r
+    quant = 1024 if r >= 1024 else 64
+    # room for the final cw-wide zero-padded slab write at offset k - rest
+    kq = ((k + cw + quant - 1) // quant) * quant
     Qacc = jnp.zeros((r, kq), dtype=P.dtype)
     done = 0
     while done < k:
         rest = k - done
         if rest <= 2 * 512 - 64:
-            # final slab, host-side rank-safe orthonormalization.  The
-            # sample width is FIXED so the big P @ G and projection matmuls
-            # keep one compile-cache shape; only the tiny final Y @ top
-            # mixing matmul depends on `rest`.
-            cols = min(2 * 512 - 56, r)
-            G = jax.random.normal(key, (r, cols), dtype=P.dtype)
+            # final slab, host-side rank-safe orthonormalization; every
+            # device op has the fixed shape (r, cw)
+            G = jax.random.normal(key, (r, cw), dtype=P.dtype)
             key, = jax.random.split(key, 1)
-            with _hp():
-                Y = P @ G
-                Y = Y - Qacc @ (Qacc.T @ Y)
-            Qc = _orth_small(Y, rest, passes=2)
+            Y = _project_slab(P, Qacc, G)
+            Qc = _orth_small_fixed(Y, rest, passes=2)
             # one subspace-iteration polish tightens the range accuracy
-            with _hp():
-                Y2 = P @ Qc
-                Y2 = Y2 - Qacc @ (Qacc.T @ Y2)
-            Qc = _orth_small(Y2, rest, passes=1)
-            Qacc = jax.lax.dynamic_update_slice(
-                Qacc, Qc, (0, jnp.asarray(done)))
+            # (Qc's zero tail columns pass through the projection as zeros)
+            Y2 = _project_slab(P, Qacc, Qc)
+            Qc = _orth_small_fixed(Y2, rest, passes=1)
+            Qacc = _slab_write(Qacc, Qc, jnp.asarray(done))
             done = k
         else:
             # full-width device slab: ALWAYS _CHUNK columns (fixed shapes),
@@ -276,7 +380,7 @@ def _orth_range(P, k, key):
             key, = jax.random.split(key, 1)
             Qacc = _subspace_chunk(P, Qacc, G, jnp.asarray(done))
             done += _CHUNK
-    return Qacc[:, :k]
+    return Qacc, kq
 
 
 @jax.jit
@@ -360,12 +464,17 @@ def build_eigen(
 
     * split points are the block's exact trace-mean (one scalar fetch) —
       self-balancing and free — instead of estimated spectral medians;
-    * every child block is PADDED up to a multiple of `leaf` with a
-      far-above-the-spectrum diagonal (pad directions are exact eigenpairs
-      of the padded block, their accumulated-U columns are exactly zero,
-      and leaves drop everything above `pad_thr`), so block dimensions
-      take at most N/leaf distinct values and the big-matmul compile cache
-      hits across the whole tree and across runs.
+    * every child block arrives PADDED up to a quantized width (the
+      compression runs over the full zero-tailed basis buffer from
+      _orth_range); pads carry a far-above-the-spectrum diagonal only
+      inside each sign call (pad directions are exact eigenpairs of the
+      padded block and their accumulated-U columns are exactly zero), so
+      block dimensions take ~N/1024 distinct values and the big-matmul
+      compile cache hits across the whole tree and across runs;
+    * every per-node step (sign seed, projectors, compression, slab
+      projection, leaf mixing) is ONE fused fixed-shape jit — an eager
+      formulation measured ~1500 tiny-op compiles / ~0.15 s per warm eager
+      dispatch on axon, dominating the build end to end.
     """
     K = fac.K
     n = fac.n
@@ -377,7 +486,6 @@ def build_eigen(
                   file=sys.stderr, flush=True)
 
     t_start = time.time()
-    quant = leaf
     lo_r, hi_r = _slq_bounds(K, seed=seed)
     vlog(f"slq bounds done [{lo_r:.4g}, {hi_r:.4g}]")
     span = hi_r - lo_r if hi_r > lo_r else max(abs(hi_r), 1.0)
@@ -392,21 +500,11 @@ def build_eigen(
     # INVARIANT: every block is exactly [real (r_real) ⊕ pad·I (trailing)].
     # Pads stay coordinate-aligned forever: sign of a block-diagonal matrix
     # is block-diagonal, so the real-side projectors can be masked exactly,
-    # children compress the REAL part only and re-pad fresh, and leaves
-    # slice the pad tail off without any eigenvalue thresholding.  The pad
-    # diagonal value is chosen PER SIGN CALL just above the block's real
-    # window, so pads never inflate the sign scaling alpha.
-    def _pad_block(Kc, Uc, r_used):
-        rq = ((r_used + quant - 1) // quant) * quant
-        if rq == r_used:
-            return Kc, Uc
-        padc = rq - r_used
-        Kp = jnp.zeros((rq, rq), dtype=wd)
-        Kp = Kp.at[:r_used, :r_used].set(Kc)
-        Up = jnp.concatenate(
-            [Uc, jnp.zeros((Uc.shape[0], padc), dtype=wd)], axis=1)
-        return Kp, Up
-
+    # children arrive pre-padded from the quantized-basis compression, and
+    # leaves slice the pad tail off without any eigenvalue thresholding.
+    # The pad diagonal value is chosen PER SIGN CALL just above the block's
+    # real window, so pads never inflate the sign scaling alpha.
+    #
     # stack entries: (K_block, U_block | None, lo, hi, npad, depth, sigma0);
     # lo/hi bound the block's REAL spectrum; sigma0 overrides the trace-mean
     # split point after a one-sided retry (bisection).
@@ -419,13 +517,16 @@ def build_eigen(
         if r_real <= leaf or depth >= max_depth or (hi - lo) / span < 1e-8:
             Kb_real = Kb if npad == 0 else Kb[:r_real, :r_real]
             lam, V = _host_leaf_eigh(Kb_real)
-            Vd = jnp.asarray(V, dtype=wd)
-            with _hp():
-                if Ub is None:
-                    cols = Vd if npad == 0 else jnp.concatenate(
-                        [Vd, jnp.zeros((npad, r_real), dtype=wd)], axis=0)
-                else:
-                    cols = Ub[:, :r_real] @ Vd
+            if Ub is None:
+                Vp = np.zeros((r, r_real))
+                Vp[:r_real, :r_real] = V
+                cols = jnp.asarray(Vp, dtype=wd)
+            else:
+                # pad the mixing matrix host-side so the big Ub @ Vp matmul
+                # keeps one compile-cache shape per r; slice after
+                Vp = np.zeros((r, r))
+                Vp[:r_real, :r_real] = V
+                cols = _leaf_mix(Ub, jnp.asarray(Vp, dtype=wd))[:, :r_real]
             out_cols.append(cols)
             out_lams.append(lam)
             stats["leaves"] += 1
@@ -439,18 +540,16 @@ def build_eigen(
             # the trace by construction): balanced for bulk spectra, and
             # self-correcting for outlier-heavy ones (outliers split off
             # fast, then the remainder re-splits at ITS own mean)
-            sigma = float(jnp.trace(Kb)) / r_real
+            sigma = float(_trace_jit(Kb)) / r_real
             sigma = min(max(sigma, lo + 1e-3 * (hi - lo)),
                         hi - 1e-3 * (hi - lo))
         # pads masquerade as real eigenvalues just above the window top
         pad_here = hi + 0.02 * (hi - lo)
-        if npad:
-            pmask = np.zeros(r, dtype=bool)
-            pmask[r_real:] = True
-            Kb_sign = Kb + jnp.asarray(pad_here * pmask, dtype=wd) * jnp.eye(
-                r, dtype=wd)
-        else:
-            Kb_sign = Kb
+        padvec = np.zeros(r)
+        padvec[r_real:] = pad_here
+        rmask_np = np.ones(r)
+        rmask_np[r_real:] = 0.0
+        rmask = jnp.asarray(rmask_np, dtype=wd)
         alpha = 1.1 * max(sigma - lo, max(hi, pad_here if npad else hi) - sigma)
         # conservative first guess for the scaled gap at sigma: one mean
         # spacing of the block's real density
@@ -458,9 +557,13 @@ def build_eigen(
         # non-integer sign trace means sigma sits essentially ON an
         # eigenvalue: nudge and redo (cost: one extra sign run)
         for attempt in range(3):
-            X = _matrix_sign(Kb_sign, sigma, alpha, ell0)
+            dvec = jnp.asarray(sigma - padvec, dtype=wd)
+            X = _matrix_sign(Kb, dvec, alpha, ell0)
             stats["splits"] += 1
-            trX = float(jnp.trace(X))
+            # P1: projector onto real eigs < sigma; P2: real eigs > sigma,
+            # pads masked off exactly
+            P1, P2, trXd = _sign_finish(X, rmask)
+            trX = float(trXd)
             if abs(trX - round(trX)) < 0.25:
                 break
             sigma = sigma + (0.04 * (attempt + 1)) * (hi - sigma)
@@ -479,32 +582,19 @@ def build_eigen(
             continue
 
         key, k1, k2 = jax.random.split(key, 3)
-        eye_half = 0.5 * jnp.eye(r, dtype=wd)
-        P1 = eye_half + 0.5 * X   # projector onto real eigs < sigma
-        P2 = eye_half - 0.5 * X   # real eigs > sigma, plus the pads
-        if npad:
-            # exact real-high projector: X is block-diagonal across the
-            # real/pad split, so zeroing the pad rows+cols removes exactly
-            # the pad directions
-            rmask = jnp.asarray(~pmask, dtype=wd)
-            P2 = P2 * rmask[:, None] * rmask[None, :]
-
-        Q1 = _orth_range(P1, r1, k1)
-        Q2 = _orth_range(P2, r_real - r1, k2)
-        with _hp():
-            K1 = Q1.T @ (Kb @ Q1)
-            K2 = Q2.T @ (Kb @ Q2)
-            U1 = Q1 if Ub is None else Ub @ Q1
-            U2 = Q2 if Ub is None else Ub @ Q2
-        K1 = 0.5 * (K1 + K1.T)
-        K2 = 0.5 * (K2 + K2.T)
+        Q1, kq1 = _orth_range(P1, r1, k1)
+        Q2, kq2 = _orth_range(P2, r_real - r1, k2)
+        if Ub is None:
+            K1, U1 = _compress_root(Kb, Q1)
+            K2, U2 = _compress_root(Kb, Q2)
+        else:
+            K1, U1 = _compress(Kb, Ub, Q1)
+            K2, U2 = _compress(Kb, Ub, Q2)
         margin = 0.05 * (hi - lo)
-        K1, U1 = _pad_block(K1, U1, r1)
-        K2, U2 = _pad_block(K2, U2, r_real - r1)
         stack.append((K1, U1, lo, sigma + margin,
-                      K1.shape[0] - r1, depth + 1, None))
+                      kq1 - r1, depth + 1, None))
         stack.append((K2, U2, sigma - margin, hi,
-                      K2.shape[0] - (r_real - r1), depth + 1, None))
+                      kq2 - (r_real - r1), depth + 1, None))
         vlog(f"split r={r} -> {r1}+{r_real - r1} real (depth {depth})")
 
     U = jnp.concatenate(out_cols, axis=1)
@@ -515,15 +605,11 @@ def build_eigen(
             f"(rank extraction failed at some split)"
         )
     order = np.argsort(lam_cat, kind="stable")
-    U = U[:, jnp.asarray(order)]
+    U = jnp.take(U, jnp.asarray(order), axis=1)
 
-    # Rayleigh refinement + residual diagnostics (one N^3 matmul pair)
-    with _hp():
-        KU = K @ U
-        lam_r = jnp.einsum("ni,ni->i", U, KU)
-        resid = jnp.linalg.norm(KU - U * lam_r[None, :]) / jnp.linalg.norm(K)
-        G = U.T @ U
-    ortho = float(jnp.max(jnp.abs(G - jnp.eye(n, dtype=wd))))
+    # Rayleigh refinement + residual diagnostics (one fused N^3 dispatch)
+    lam_r, resid, orthod = _rayleigh_jit(K, U)
+    ortho = float(orthod)
     lam64 = jnp.asarray(np.asarray(jax.device_get(lam_r), dtype=np.float64))
 
     # On a multi-device mesh, shard U's COLUMNS (and lam) over the marker
