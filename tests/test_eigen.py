@@ -208,6 +208,36 @@ def test_probit_eigen_matches_spectral(tmp_path):
         np.testing.assert_allclose(me, ms, rtol=0, atol=1e-8)
 
 
+def test_build_eigen_compile_census():
+    """Lock the dispatch-fusion design: every device op in build_eigen comes
+    from the module's small closed set of jitted kernels, and shape
+    quantization keeps each kernel's compile-cache population bounded by the
+    number of distinct quantized block widths — NOT by the number of
+    recursion nodes.  (On the remote-compile TPU platform each extra cached
+    entry is a multi-second compile; an eager-glue formulation measured
+    ~1500 compiles for a build whose MXU work is ~2 s.)"""
+    import vampomi_tpu.ops.eigen as eig
+
+    jax.clear_caches()
+    fac = _gram(n=384, m=1536, seed=5)
+    _, diag = build_eigen(fac, leaf=64)
+    assert diag["splits"] >= 4  # the tree must actually recurse
+
+    kernels = {
+        name: fn for name, fn in vars(eig).items()
+        if callable(fn) and hasattr(fn, "_cache_size")
+    }
+    assert len(kernels) >= 10  # the closed kernel set exists
+    sizes = {name: fn._cache_size() for name, fn in kernels.items()}
+    total = sum(sizes.values())
+    # n=384 / quant=64 allows <= 6 distinct block widths; kernels keyed by
+    # (r, kq) pairs may see a few combinations each.  A per-node shape leak
+    # would push individual kernels past the split count instead.
+    assert total <= 60, sizes
+    for name, s in sizes.items():
+        assert s <= 14, (name, sizes)
+
+
 def test_auto_solver_upgrades_to_eigen_on_mesh():
     from vampomi_tpu.config import RunConfig
     from vampomi_tpu.engine.linear import choose_lmmse_solver
