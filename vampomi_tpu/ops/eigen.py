@@ -207,6 +207,21 @@ def _leaf_mix(Ub, Vp):
 
 
 @jax.jit
+def _leaf_write(Uacc, cols, off, nreal):
+    """Write the first `nreal` columns of `cols` into Uacc at column `off`,
+    leaving every other column of Uacc untouched.  off/nreal are traced
+    scalars, so the compile-cache key is only (Uacc.shape, cols.shape) —
+    both quantized — unlike a cols[:, :r_real] slice whose shape would be a
+    fresh multi-second remote compile for every distinct leaf width (and a
+    persistent-cache MISS across datasets, since leaf widths depend on the
+    spectrum)."""
+    cur = jax.lax.dynamic_slice(Uacc, (0, off), cols.shape)
+    keep = jnp.arange(cols.shape[1]) < nreal
+    merged = jnp.where(keep[None, :], cols, cur)
+    return jax.lax.dynamic_update_slice(Uacc, merged, (0, off))
+
+
+@jax.jit
 def _rayleigh_jit(K, U):
     """Rayleigh values diag(U^T K U), the residual ||KU - U lam||/||K||,
     and max|U^T U - I|, fused into one dispatch."""
@@ -271,26 +286,31 @@ def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None):
     return X
 
 
-def _orth_small_fixed(Y, k, passes=2):
+def _orth_small_fixed(Y, k, passes=2, valid=None):
     """Orthonormal rank-k basis of Y's dominant range via host f64 eigh of
     the small Gram (rank-deficiency-safe where CholQR is not).
 
     Fixed-shape formulation: Y keeps its full slab width cw through every
-    pass (valid data in some leading columns, exact zeros beyond — zero
-    columns contribute a zero block to the Gram, whose top-k eigenpairs are
-    those of the real block with zero components on the pad coordinates).
+    pass (valid data in the first `valid` columns, exact zeros beyond).
+    The eigh runs on the HOST-SLICED (valid, valid) Gram block — the exact
+    zero columns beyond `valid` would otherwise contribute eigenvalue-0
+    pad eigenpairs that can sort ABOVE a tiny-negative (f32-noise) real
+    eigenvalue and get 1/sqrt(1e-300) scalings that overflow to inf.
     Returns (r, cw) with the orthonormal basis in the FIRST k columns and
     exact zeros beyond, so downstream matmuls keep one compile-cache shape.
-    The Gram fetch is ~3.6 MB at cw = 968."""
+    The full-width Gram fetch is ~3.7 MB at cw = 968."""
     cw = Y.shape[1]
+    if valid is None:
+        valid = cw
     for _ in range(passes):
         G = _gram_jit(Y)
-        Gh = np.asarray(jax.device_get(G), dtype=np.float64)
+        Gh = np.asarray(jax.device_get(G), dtype=np.float64)[:valid, :valid]
         Gh = 0.5 * (Gh + Gh.T)
         ev, V = np.linalg.eigh(Gh)
         T = np.zeros((cw, cw))
-        T[:, :k] = V[:, -k:] / np.sqrt(np.maximum(ev[-k:], 1e-300))
+        T[:valid, :k] = V[:, -k:] / np.sqrt(np.maximum(ev[-k:], 1e-300))
         Y = _mix_jit(Y, jnp.asarray(T, dtype=Y.dtype))
+        valid = k
     return Y
 
 
@@ -343,8 +363,8 @@ def _orth_range(P, k, key):
     Gram is unfetchable at k ~ N/2 on the 20 MB/s relay — so the basis is
     built in _CHUNK-wide slabs (each slab's random projection into the
     REMAINING range is a fat rectangular Gaussian — well-conditioned for
-    device CholQR2), with the final <=512-wide slab finished by the
-    rank-safe host eigh-of-Gram path.
+    device CholQR2), with the final <=960 columns finished by the
+    rank-safe host eigh-of-Gram path over a FIXED 968-wide sample slab.
 
     Returns (Qacc, kq): the FULL quantized-width (r, kq) buffer with the
     basis in the first k columns and exact zeros beyond.  Handing the
@@ -354,8 +374,16 @@ def _orth_range(P, k, key):
     r = P.shape[0]
     cw = min(2 * 512 - 56, r)  # fixed sample/slab width for this r
     quant = 1024 if r >= 1024 else 64
-    # room for the final cw-wide zero-padded slab write at offset k - rest
-    kq = ((k + cw + quant - 1) // quant) * quant
+    # minimal buffer width: the final cw-wide slab is written at the exact
+    # offset the chunk loop reaches (_CHUNK * n_chunks), so kq stays within
+    # one quant step of k even for degenerate splits (k ~ r), instead of
+    # the k + cw worst case that let children outgrow their parent
+    if k <= 2 * 512 - 64:
+        need = max(k, cw)
+    else:
+        n_chunks = -(-(k - (2 * 512 - 64)) // _CHUNK)
+        need = _CHUNK * n_chunks + cw
+    kq = ((need + quant - 1) // quant) * quant
     Qacc = jnp.zeros((r, kq), dtype=P.dtype)
     done = 0
     while done < k:
@@ -370,7 +398,7 @@ def _orth_range(P, k, key):
             # one subspace-iteration polish tightens the range accuracy
             # (Qc's zero tail columns pass through the projection as zeros)
             Y2 = _project_slab(P, Qacc, Qc)
-            Qc = _orth_small_fixed(Y2, rest, passes=1)
+            Qc = _orth_small_fixed(Y2, rest, passes=1, valid=rest)
             Qacc = _slab_write(Qacc, Qc, jnp.asarray(done))
             done = k
         else:
@@ -437,8 +465,11 @@ def _slq_bounds(K, probes=8, steps=64, seed=0):
     return ritz_min, ritz_max
 
 
-def _host_leaf_eigh(Kb):
-    Kh = np.asarray(jax.device_get(Kb), dtype=np.float64)
+def _host_leaf_eigh(Kb, r_real):
+    """Host f64 eigh of the REAL part of a leaf block.  The pad tail is
+    sliced off HOST-side after the fetch — a device Kb[:r_real, :r_real]
+    would compile per distinct (r, r_real) pair."""
+    Kh = np.asarray(jax.device_get(Kb), dtype=np.float64)[:r_real, :r_real]
     Kh = 0.5 * (Kh + Kh.T)
     lam, V = np.linalg.eigh(Kh)
     return lam, V
@@ -493,7 +524,13 @@ def build_eigen(
     hi0 = hi_r + 0.1 * span
 
     key = jax.random.PRNGKey(seed + 1)
-    out_cols: list[jax.Array] = []
+    # eigenvector accumulation buffer: leaves masked-write their real
+    # columns at a running offset (_leaf_write), so no per-leaf-width slice
+    # or final variable-width concatenate ever compiles.  The +2048 tail
+    # absorbs the largest possible pad overhang of a final leaf write
+    # (quant - 1 + slab slack < 1500) without dynamic_update_slice clamping.
+    Upad = jnp.zeros((n, n + 2048), dtype=wd)
+    u_off = 0
     out_lams: list[np.ndarray] = []
     stats = {"splits": 0, "leaves": 0}
 
@@ -515,19 +552,20 @@ def build_eigen(
         r_real = r - npad
 
         if r_real <= leaf or depth >= max_depth or (hi - lo) / span < 1e-8:
-            Kb_real = Kb if npad == 0 else Kb[:r_real, :r_real]
-            lam, V = _host_leaf_eigh(Kb_real)
+            lam, V = _host_leaf_eigh(Kb, r_real)
+            # pad the mixing matrix host-side so the big Ub @ Vp matmul
+            # keeps one compile-cache shape per r; the masked write drops
+            # the pad columns without a per-r_real device slice
+            Vp = np.zeros((r, r))
+            Vp[:r_real, :r_real] = V
             if Ub is None:
-                Vp = np.zeros((r, r_real))
-                Vp[:r_real, :r_real] = V
+                # root-as-leaf: npad == 0 and the basis is Vp itself
                 cols = jnp.asarray(Vp, dtype=wd)
             else:
-                # pad the mixing matrix host-side so the big Ub @ Vp matmul
-                # keeps one compile-cache shape per r; slice after
-                Vp = np.zeros((r, r))
-                Vp[:r_real, :r_real] = V
-                cols = _leaf_mix(Ub, jnp.asarray(Vp, dtype=wd))[:, :r_real]
-            out_cols.append(cols)
+                cols = _leaf_mix(Ub, jnp.asarray(Vp, dtype=wd))
+            Upad = _leaf_write(Upad, cols, jnp.asarray(u_off),
+                               jnp.asarray(r_real))
+            u_off += r_real
             out_lams.append(lam)
             stats["leaves"] += 1
             vlog(f"leaf r={r} ({r_real} real) done")
@@ -550,13 +588,18 @@ def build_eigen(
         rmask_np = np.ones(r)
         rmask_np[r_real:] = 0.0
         rmask = jnp.asarray(rmask_np, dtype=wd)
-        alpha = 1.1 * max(sigma - lo, max(hi, pad_here if npad else hi) - sigma)
-        # conservative first guess for the scaled gap at sigma: one mean
-        # spacing of the block's real density
-        ell0 = max(1e-7, min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
         # non-integer sign trace means sigma sits essentially ON an
         # eigenvalue: nudge and redo (cost: one extra sign run)
         for attempt in range(3):
+            # alpha/ell0 are recomputed INSIDE the retry loop: a nudged
+            # sigma widens max|lam - sigma|, and a stale alpha would let
+            # scaled eigenvalues cross the NS cubic's sign-preserving zero
+            alpha = 1.1 * max(sigma - lo,
+                              max(hi, pad_here if npad else hi) - sigma)
+            # conservative first guess for the scaled gap at sigma: one
+            # mean spacing of the block's real density
+            ell0 = max(1e-7,
+                       min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
             dvec = jnp.asarray(sigma - padvec, dtype=wd)
             X = _matrix_sign(Kb, dvec, alpha, ell0)
             stats["splits"] += 1
@@ -597,15 +640,16 @@ def build_eigen(
                       kq2 - (r_real - r1), depth + 1, None))
         vlog(f"split r={r} -> {r1}+{r_real - r1} real (depth {depth})")
 
-    U = jnp.concatenate(out_cols, axis=1)
     lam_cat = np.concatenate(out_lams)
-    if U.shape[1] != n or len(lam_cat) != n:
+    if u_off != n or len(lam_cat) != n:
         raise RuntimeError(
-            f"eigen build lost dimensions: {U.shape[1]} vs N={n} "
+            f"eigen build lost dimensions: {u_off} vs N={n} "
             f"(rank extraction failed at some split)"
         )
     order = np.argsort(lam_cat, kind="stable")
-    U = jnp.take(U, jnp.asarray(order), axis=1)
+    # one (n, n+2048) -> (n, n) gather: reorder by eigenvalue and drop the
+    # buffer tail in a single fixed-shape dispatch
+    U = jnp.take(Upad, jnp.asarray(order), axis=1)
 
     # Rayleigh refinement + residual diagnostics (one fused N^3 dispatch)
     lam_r, resid, orthod = _rayleigh_jit(K, U)
