@@ -208,6 +208,33 @@ def test_probit_eigen_matches_spectral(tmp_path):
         np.testing.assert_allclose(me, ms, rtol=0, atol=1e-8)
 
 
+def test_eigen_cache_roundtrip(tmp_path):
+    """build_eigen_cached: first call builds and persists, second call
+    loads the identical factor, and a cache written for a DIFFERENT
+    dataset is detected (trace mismatch) and rebuilt, not silently used."""
+    from vampomi_tpu.ops.eigen import build_eigen_cached
+
+    path = str(tmp_path / "eig.npz")
+    fac = _gram(n=192, m=768, seed=6)
+    ef1, d1 = build_eigen_cached(fac, path, leaf=64)
+    assert not d1.get("loaded") and (tmp_path / "eig.npz").exists()
+
+    ef2, d2 = build_eigen_cached(fac, path, leaf=64)
+    assert d2["loaded"] and d2["resid"] == d1["resid"]
+    np.testing.assert_array_equal(np.asarray(ef2.U), np.asarray(ef1.U))
+    np.testing.assert_array_equal(np.asarray(ef2.lam), np.asarray(ef1.lam))
+
+    other = _gram(n=192, m=768, seed=7)
+    ef3, d3 = build_eigen_cached(other, path, leaf=64)
+    assert not d3.get("loaded")  # stale cache rejected, rebuilt
+    lam_np = np.linalg.eigvalsh(np.asarray(other.K))
+    scale = np.abs(lam_np).max()
+    assert np.max(np.abs(np.sort(np.asarray(ef3.lam)) - lam_np)) / scale < 1e-9
+    # and the overwritten cache now loads for the NEW dataset
+    ef4, d4 = build_eigen_cached(other, path, leaf=64)
+    assert d4["loaded"]
+
+
 def test_build_eigen_compile_census():
     """Lock the dispatch-fusion design: every device op in build_eigen comes
     from the module's small closed set of jitted kernels, and shape

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "diagonalization, O(N^2) per-iteration dense work)")
     x.add_argument("--spectral-max-n", type=int, default=16384,
                    help="auto solver picks spectral only when N <= this")
+    x.add_argument("--eigen-cache", default="",
+                   help="persist the once-per-dataset eigenbasis to this "
+                        ".npz and reload it on later runs over the same "
+                        "dataset (skips the minutes-long build)")
     x.add_argument("--checkpoint-file", default="",
                    help="write an exact-state .npz after every iteration")
     x.add_argument("--resume-file", default="",

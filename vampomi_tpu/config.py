@@ -69,6 +69,8 @@ class RunConfig:
     # TPU-native extensions (not present in the reference)
     lmmse_solver: str = "auto"    # auto | cg | spectral (ops/spectral.py)
     spectral_max_n: int = 16384   # auto picks spectral only when N <= this
+    eigen_cache: str = ""         # persist/reload the once-per-dataset
+                                  # eigenbasis (.npz; ops/eigen.py)
     compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16 | int8 | int4
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
     checkpoint_file: str = ""     # write exact-state .npz after each iteration

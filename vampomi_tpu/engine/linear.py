@@ -587,8 +587,16 @@ def infere_linear(
                       f"(N={N}; exact solves + exact Onsager from here on)")
     if solver == "eigen":
         t_eig = time.time()
-        ef, eig_diag = build_eigen(fac, seed=cfg.seed)
-        _log(verbose, f"eigenbasis of K built in {time.time() - t_eig:.3f}s "
+        if cfg.eigen_cache:
+            from ..ops.eigen import build_eigen_cached
+
+            ef, eig_diag = build_eigen_cached(
+                fac, cfg.eigen_cache, seed=cfg.seed)
+        else:
+            ef, eig_diag = build_eigen(fac, seed=cfg.seed)
+        _log(verbose, f"eigenbasis of K "
+                      f"{'loaded' if eig_diag.get('loaded') else 'built'} "
+                      f"in {time.time() - t_eig:.3f}s "
                       f"(residual {eig_diag['resid']:.2e}, "
                       f"{eig_diag['splits']} sign splits)")
         if eig_diag["resid"] > 1e-3:

@@ -333,11 +333,17 @@ def infere_bin_class(
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
     if solver == "eigen":
-        from ..ops.eigen import build_eigen
+        from ..ops.eigen import build_eigen, build_eigen_cached
 
         t_eig = time.time()
-        ef, eig_diag = build_eigen(fac, seed=cfg.seed)
-        _log(verbose, f"eigenbasis of K built in {time.time() - t_eig:.3f}s "
+        if cfg.eigen_cache:
+            ef, eig_diag = build_eigen_cached(
+                fac, cfg.eigen_cache, seed=cfg.seed)
+        else:
+            ef, eig_diag = build_eigen(fac, seed=cfg.seed)
+        _log(verbose, f"eigenbasis of K "
+                      f"{'loaded' if eig_diag.get('loaded') else 'built'} "
+                      f"in {time.time() - t_eig:.3f}s "
                       f"(residual {eig_diag['resid']:.2e})")
         if eig_diag["resid"] > 1e-3:
             _log(verbose, "eigen residual above tolerance — falling back to the "

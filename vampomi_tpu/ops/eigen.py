@@ -120,6 +120,19 @@ def _trace_jit(Kb):
 
 
 @jax.jit
+def _fingerprint_jit(K):
+    """Dataset fingerprint for the eigen cache: trace plus the first 8
+    entries of K z for a fixed random probe z.  The trace alone is NOT
+    discriminating (any two same-shape standardized Grams have trace ~ N);
+    the probe sketch differs at O(1) relative scale between datasets while
+    being bit-reproducible for the same K on the same platform."""
+    n = K.shape[0]
+    z = jax.random.normal(jax.random.PRNGKey(987654321), (n,), dtype=K.dtype)
+    s = K @ z
+    return jnp.concatenate([jnp.trace(K)[None], s[:8]])
+
+
+@jax.jit
 def _sign_init(Kb, dvec, inv_alpha):
     """X0 = (diag(dvec) - Kb) * inv_alpha with dvec = sigma - padvec: the
     scaled sign-iteration seed, pads already shifted above the window."""
@@ -656,15 +669,22 @@ def build_eigen(
     ortho = float(orthod)
     lam64 = jnp.asarray(np.asarray(jax.device_get(lam_r), dtype=np.float64))
 
-    # On a multi-device mesh, shard U's COLUMNS (and lam) over the marker
-    # axis: GSPMD then executes U^T av as a communication-free sharded
-    # contraction and U (d ∘ t) with a single psum of an N-vector — the
-    # per-iteration dense work scales ~1/C instead of replicating, removing
-    # the Amdahl term that capped 8-chip efficiency (SCALING.md).
+    U, lam64 = _shard_factor(U, lam64, K)
+    diag = {"resid": float(resid), "ortho": ortho, **stats}
+    return EigenFactor(U=U, lam=lam64), diag
+
+
+def _shard_factor(U, lam64, K):
+    """On a multi-device mesh, shard U's COLUMNS (and lam) over the marker
+    axis: GSPMD then executes U^T av as a communication-free sharded
+    contraction and U (d ∘ t) with a single psum of an N-vector — the
+    per-iteration dense work scales ~1/C instead of replicating, removing
+    the Amdahl term that capped 8-chip efficiency (SCALING.md)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..sharding import MARKER_AXIS
 
+    n = U.shape[0]
     if isinstance(K.sharding, NamedSharding):
         mesh = K.sharding.mesh
         n_dev = int(np.prod(mesh.devices.shape))
@@ -672,9 +692,71 @@ def build_eigen(
             U = jax.device_put(U, NamedSharding(mesh, P(None, MARKER_AXIS)))
             lam64 = jax.device_put(
                 lam64, NamedSharding(mesh, P(MARKER_AXIS)))
+    return U, lam64
 
-    diag = {"resid": float(resid), "ortho": ortho, **stats}
-    return EigenFactor(U=U, lam=lam64), diag
+
+def build_eigen_cached(
+    fac: GramFactor,
+    cache_path: str,
+    seed: int = 0,
+    leaf: int = 2048,
+    verbose: bool = False,
+) -> tuple[EigenFactor, dict]:
+    """build_eigen with a persistent on-disk factor: the eigenbasis is a
+    pure function of the DATASET (K), so a production rerun, a resumed job,
+    or a second run mode over the same data can skip the minutes-long build
+    entirely.  The reference has no analog — its per-iteration CG starts
+    from scratch every run (src/vamp.cpp:697-751).
+
+    The .npz stores (U, lam, resid, ortho, n, seed, fp); on load the
+    factor is validated against the live K by N and by a random-probe
+    fingerprint (trace + 8 sketch entries, relative 1e-3) — a stale cache
+    from a DIFFERENT dataset rebuilds and overwrites instead of silently
+    corrupting the run.  Multi-host safe: every process loads the same
+    deterministic file; only the writer process saves (atomic tmp +
+    rename, like engine/checkpoint.py)."""
+    import os
+
+    K = fac.K
+    n = fac.n
+    wd = K.dtype
+    fp_live = np.asarray(jax.device_get(_fingerprint_jit(K)),
+                         dtype=np.float64)
+
+    if os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            fp_old = np.asarray(z["fp"], dtype=np.float64) \
+                if "fp" in z else None
+            ok = (int(z["n"]) == n and fp_old is not None
+                  and fp_old.shape == fp_live.shape
+                  and np.linalg.norm(fp_old - fp_live)
+                  <= 1e-3 * max(np.linalg.norm(fp_live), 1e-30))
+            if ok:
+                U = jnp.asarray(z["U"], dtype=wd)
+                lam64 = jnp.asarray(np.asarray(z["lam"], dtype=np.float64))
+                diag = {"resid": float(z["resid"]), "ortho": float(z["ortho"]),
+                        "splits": 0, "leaves": 0, "loaded": True}
+                U, lam64 = _shard_factor(U, lam64, K)
+                return EigenFactor(U=U, lam=lam64), diag
+        if verbose:
+            print(f"eigen cache {cache_path}: dataset mismatch — rebuilding",
+                  file=sys.stderr, flush=True)
+
+    ef, diag = build_eigen(fac, seed=seed, leaf=leaf, verbose=verbose)
+
+    from ..io.csv_writer import is_writer_process
+
+    if is_writer_process():
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, U=np.asarray(jax.device_get(ef.U)),
+                     lam=np.asarray(jax.device_get(ef.lam)),
+                     resid=diag["resid"], ortho=diag["ortho"],
+                     n=n, seed=seed, fp=fp_live)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cache_path)
+    return ef, diag
 
 
 # --------------------------------------------------------------------------
