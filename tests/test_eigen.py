@@ -265,7 +265,7 @@ def test_build_eigen_compile_census():
         assert s <= 14, (name, sizes)
 
 
-def test_auto_solver_upgrades_to_eigen_on_mesh():
+def test_auto_solver_upgrades_to_eigen_on_mesh(tmp_path):
     from vampomi_tpu.config import RunConfig
     from vampomi_tpu.engine.linear import choose_lmmse_solver
 
@@ -273,3 +273,10 @@ def test_auto_solver_upgrades_to_eigen_on_mesh():
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=8) == "eigen"
     assert choose_lmmse_solver(cfg, mt=2000, n=300, n_devices=8) == "cg"
+
+    # a warm cache upgrades single-chip auto; a cold (absent) one does not
+    cache = tmp_path / "eig.npz"
+    cfg_c = RunConfig(eigen_cache=str(cache))
+    assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
+    cache.write_bytes(b"")
+    assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "eigen"

@@ -453,12 +453,22 @@ def choose_lmmse_solver(cfg: RunConfig, mt: int, n: int, n_devices: int = 1) -> 
     two N^2 matvecs instead of the replicated 2N^3/3 factor, which is the
     Amdahl term that otherwise caps scaling (SCALING.md); the extra
     once-per-dataset diagonalization (~seconds) amortizes immediately at
-    production iteration counts."""
+    production iteration counts.  A WARM --eigen-cache upgrades single-chip
+    auto too: the build cost is a file load, and eigen's per-iteration
+    dense work (two N^2 matvecs, ~4 ms at N=10240) strictly beats the
+    spectral factor's 2N^3/3 (~30 ms)."""
     s = cfg.lmmse_solver
     if s != "auto":
         return s
     if n <= cfg.spectral_max_n and n >= 2048 and mt >= 4 * n:
-        return "eigen" if n_devices > 1 else "spectral"
+        if n_devices > 1:
+            return "eigen"
+        if cfg.eigen_cache:
+            import os
+
+            if os.path.exists(cfg.eigen_cache):
+                return "eigen"
+        return "spectral"
     return "cg"
 
 
