@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import jax
@@ -108,7 +109,7 @@ def gen_x(m, n, dtype):
 
     cols = n // 2 if dtype == jnp.uint8 else n
     if m <= chunk:
-        return gen_chunk(kx)
+        return gen_chunk(kx)[:m]
 
     @jax.jit
     def gen(k):
@@ -201,7 +202,7 @@ def run(m, n, dtype):
     aty = jax.jit(atx)(dm, y)
 
     if solver == "eigen":
-        from vampomi_tpu.ops.eigen import build_eigen, eigen_weights
+        from vampomi_tpu.ops.eigen import build_eigen_cached, eigen_weights
 
         # free X for the duration of the dense build (the build needs only
         # K); regenerate it bit-identically afterwards.  Holding a 10+ GB X
@@ -214,11 +215,18 @@ def run(m, n, dtype):
 
         gc.collect()
 
+        # factor persists across bench invocations (X is PRNG-regenerated,
+        # so K is deterministic per (m, n, dtype) and the fingerprint
+        # validates the reload); a repeated driver run skips the build
+        cache = os.path.join(
+            tempfile.gettempdir(),
+            f"vampomi_bench_eigen_{os.getuid()}_{m}_{n}_{np.dtype(dtype).name}.npz")
         t0 = time.perf_counter()
-        ef, diag = build_eigen(fac, verbose=True)
+        ef, diag = build_eigen_cached(fac, cache, verbose=True)
         sync(ef.U)
         t_eig = time.perf_counter() - t0
-        log(f"eigen build: {t_eig:.1f}s (once per dataset; residual "
+        log(f"eigen {'load' if diag.get('loaded') else 'build'}: "
+            f"{t_eig:.1f}s (once per dataset; residual "
             f"{diag['resid']:.2e}, ortho {diag['ortho']:.2e})")
         if diag["resid"] > 1e-3:
             raise RuntimeError(f"eigen residual {diag['resid']} out of spec")
@@ -307,6 +315,11 @@ def main() -> None:
         "int4": jnp.uint8,
     }.get(os.environ.get("VAMPOMI_BENCH_DTYPE", "int8"), jnp.int8)
     m, n = pick_shape(dtype)
+    # debug escape: VAMPOMI_BENCH_SHAPE=M,N runs an arbitrary (small) shape
+    # so the bench path itself can be smoke-tested off-TPU
+    shape_env = os.environ.get("VAMPOMI_BENCH_SHAPE", "")
+    if shape_env:
+        m, n = (int(v) for v in shape_env.split(","))
     while True:
         try:
             t_ours, t_ref, matvec_gbps, t_dense = run(m, n, dtype)
