@@ -50,6 +50,19 @@ WORKER = textwrap.dedent("""
                        "linear", mesh, jnp.int8)
     assert ds8.qscale is not None and ds8.qscale.shape == (160,)
     print("QSCALESUM", repr(float(np.sum(ds8.qscale))))
+    # eigen cache under multi-process: only the writer process (0) saves;
+    # after the barrier every process reloads the same factor
+    from jax.experimental import multihost_utils
+    from vampomi_tpu.ops.eigen import build_eigen_cached
+    from vampomi_tpu.ops.spectral import build_spectral
+    fac = build_spectral(ds.dm)
+    ef, dg = build_eigen_cached(fac, work + "/eig.npz")
+    assert not dg.get("loaded")
+    multihost_utils.sync_global_devices("eigen_cache_saved")
+    ef2, dg2 = build_eigen_cached(fac, work + "/eig.npz")
+    assert dg2.get("loaded"), "all processes must reload after the barrier"
+    from vampomi_tpu.sharding import fetch_global
+    print("LAMSUM", repr(float(np.sum(fetch_global(ef2.lam)))))
 """).replace("__REPO__", REPO)
 
 
@@ -94,6 +107,8 @@ def test_two_process_run_matches_single(tmp_path):
     assert gamws[0] == gamws[1]
     qsums = [float(o.split("QSCALESUM")[1].split()[0]) for o in outs]
     assert qsums[0] == qsums[1]
+    lamsums = [float(o.split("LAMSUM")[1].split()[0]) for o in outs]
+    assert lamsums[0] == lamsums[1]  # both processes reloaded the same factor
 
     # single-process run over the 8-device mesh in THIS process
     mesh = make_mesh()

@@ -717,11 +717,14 @@ def build_eigen_cached(
     rename, like engine/checkpoint.py)."""
     import os
 
+    from ..sharding import fetch_global
+
     K = fac.K
     n = fac.n
     wd = K.dtype
-    fp_live = np.asarray(jax.device_get(_fingerprint_jit(K)),
-                         dtype=np.float64)
+    # fetch_global: the fingerprint of a multi-process-sharded K is itself
+    # potentially non-addressable from any single process
+    fp_live = np.asarray(fetch_global(_fingerprint_jit(K)), dtype=np.float64)
 
     if os.path.exists(cache_path):
         with np.load(cache_path) as z:
@@ -746,11 +749,15 @@ def build_eigen_cached(
 
     from ..io.csv_writer import is_writer_process
 
+    # fetch_global is COLLECTIVE (multi-process factors are mesh-sharded and
+    # need an allgather) — every process must call it, then only the writer
+    # touches the filesystem
+    u_host = fetch_global(ef.U)
+    lam_host = fetch_global(ef.lam)
     if is_writer_process():
         tmp = cache_path + ".tmp"
         with open(tmp, "wb") as f:
-            np.savez(f, U=np.asarray(jax.device_get(ef.U)),
-                     lam=np.asarray(jax.device_get(ef.lam)),
+            np.savez(f, U=u_host, lam=lam_host,
                      resid=diag["resid"], ortho=diag["ortho"],
                      n=n, seed=seed, fp=fp_live)
             f.flush()
