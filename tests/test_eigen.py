@@ -48,6 +48,27 @@ def test_build_eigen_f64_matches_numpy(corr):
     assert np.max(np.abs(H - np.diag(lam))) / scale < 1e-9
 
 
+def test_build_eigen_degenerate_cluster_on_mean():
+    """Adversarial spectrum: a large EXACTLY-degenerate cluster sitting on
+    the trace-mean split point.  The sign iteration leaves those modes at 0
+    with an INTEGER trace, so only the ||X||_F^2 zero-mode count
+    (_sign_finish) can detect it; without the nudge both children extract
+    independent random subspaces of the cluster's eigenspace that overlap
+    instead of complementing (measured resid 0.056, ortho 0.37)."""
+    rng = np.random.default_rng(0)
+    n = 288
+    vals = np.concatenate(
+        [np.full(96, 0.5), np.full(96, 1.0), np.full(96, 1.5)])
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    K = (Q * vals) @ Q.T
+    fac = GramFactor(K=jnp.asarray(0.5 * (K + K.T)))
+    ef, diag = build_eigen(fac, leaf=64)
+    assert diag["resid"] < 1e-9
+    assert diag["ortho"] < 1e-10
+    lam = np.sort(np.asarray(ef.lam))
+    assert np.max(np.abs(lam - np.sort(vals))) < 1e-9
+
+
 def test_build_eigen_f32_mp_narrow():
     """The production regime: M >> N gives the tight Marchenko-Pastur bulk
     (tiny spectral gaps) — the hard case for the sign splits."""

@@ -152,17 +152,25 @@ def _ns_step(X, a, b):
 
 @jax.jit
 def _sign_finish(X, rmask):
-    """Symmetrize the converged sign, form both spectral projectors and the
-    sign trace in one dispatch.  rmask is 1 on real coordinates, 0 on pads:
-    the high-side projector P2 is masked exactly (the sign of the block-
-    diagonal padded matrix is block-diagonal, so zeroing pad rows+cols
-    removes exactly the pad directions)."""
+    """Symmetrize the converged sign, form both spectral projectors, the
+    sign trace, and ||X||_F^2 in one dispatch.  rmask is 1 on real
+    coordinates, 0 on pads: the high-side projector P2 is masked exactly
+    (the sign of the block-diagonal padded matrix is block-diagonal, so
+    zeroing pad rows+cols removes exactly the pad directions).
+
+    ||X||_F^2 = sum of squared sign eigenvalues counts CONVERGED modes
+    (each contributes ~1); r - ||X||_F^2 therefore counts the modes stuck
+    at ~0 — eigenvalues sitting essentially ON sigma.  A degenerate
+    CLUSTER at sigma leaves the trace integer (the zero modes contribute
+    0), so the trace test alone cannot see it, yet both children would
+    then extract independent random subspaces of the cluster's eigenspace
+    that overlap instead of complementing — the caller must nudge sigma."""
     Xs = 0.5 * (X + X.T)
     r = X.shape[0]
     eye_half = 0.5 * jnp.eye(r, dtype=X.dtype)
     P1 = eye_half + 0.5 * Xs
     P2 = (eye_half - 0.5 * Xs) * rmask[:, None] * rmask[None, :]
-    return P1, P2, jnp.trace(Xs)
+    return P1, P2, jnp.trace(Xs), jnp.sum(Xs * Xs)
 
 
 @jax.jit
@@ -618,12 +626,17 @@ def build_eigen(
             stats["splits"] += 1
             # P1: projector onto real eigs < sigma; P2: real eigs > sigma,
             # pads masked off exactly
-            P1, P2, trXd = _sign_finish(X, rmask)
+            P1, P2, trXd, trsq = _sign_finish(X, rmask)
             trX = float(trXd)
-            if abs(trX - round(trX)) < 0.25:
+            # modes stuck at ~0 = eigenvalues ON sigma (see _sign_finish);
+            # each retry costs one sign run, and after 3 the recursion
+            # proceeds with the last split exactly as before
+            n_zero = r - float(trsq)
+            if abs(trX - round(trX)) < 0.25 and n_zero < 0.5:
                 break
             sigma = sigma + (0.04 * (attempt + 1)) * (hi - sigma)
-            vlog(f"sign r={r} trace {trX:.2f} non-integer — nudging sigma")
+            vlog(f"sign r={r} trace {trX:.2f} / {n_zero:.2f} modes on "
+                 f"sigma — nudging")
         vlog(f"sign r={r} done (sigma={sigma:.4g}, trX={trX:.2f})")
 
         r1 = int(round(0.5 * (r + trX)))  # real eigs BELOW sigma
