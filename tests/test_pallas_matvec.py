@@ -55,6 +55,27 @@ def test_atx_applicable_gates(small_fixture):
     assert pallas_matvec.atx_applicable(dm32) is None
 
 
+def test_atx_applicable_accepts_axon_backend(monkeypatch):
+    """The relay-attached TPU registers its platform as "axon" (Pallas
+    lowering is aliased to the "tpu" rules — axon/register/pjrt.py); the
+    gate must treat it as a TPU.  Matching only "tpu" silently ran the
+    479 GB/s einsum fallback on the production chip instead of the
+    625 GB/s kernel."""
+    import jax as _jax
+
+    from vampomi_tpu.sim.data_sim import simulate_iid
+
+    fx = simulate_iid(n=64, m=512, lam=0.1, h2=0.8, seed=1)  # tileable M
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.int8)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(_jax, "device_count", lambda: 1)
+    tm = pallas_matvec.atx_applicable(dm)
+    assert tm is not None and dm.X.shape[0] % tm == 0
+    # an unknown backend stays excluded
+    monkeypatch.setattr(_jax, "default_backend", lambda: "gpu")
+    assert pallas_matvec.atx_applicable(dm) is None
+
+
 def test_atx_wiring_through_kernel(small_fixture, monkeypatch):
     """Force the gate open (interpret mode) and check the full `atx` —
     standardization corrections included — against the einsum fallback."""

@@ -168,6 +168,14 @@ def pick_tile(m: int, n: int) -> int | None:
     return tm if tm >= 8 and m % tm == 0 and tm * n <= _MAX_TILE_BYTES else None
 
 
+_TPU_BACKENDS = ("tpu", "axon")  # axon = relay-attached TPU: it registers
+# its platform as "axon" but aliases the "tpu" MLIR lowering rules, so
+# Pallas kernels compile and run on it (axon/register/pjrt.py
+# canonical_platform).  Matching only "tpu" silently disabled the kernels
+# on the production chip — the einsum fallback ran at 479 GB/s where the
+# kernel measures 625.
+
+
 def atx_applicable(dm) -> int | None:
     """The tile size when the Pallas path handles this DesignMatrix, else
     None.  Every condition is static at trace time: a quantized dtype
@@ -176,7 +184,7 @@ def atx_applicable(dm) -> int | None:
     enters), and a tileable shape."""
     if dm.X.dtype not in (jnp.int8, jnp.uint8):
         return None
-    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+    if jax.default_backend() not in _TPU_BACKENDS or jax.device_count() != 1:
         return None
     return pick_tile(*dm.X.shape)
 
@@ -188,7 +196,7 @@ def ax_batch_packed4_applicable(dm, k: int) -> tuple[int, int] | None:
     falls back to the unpack-einsum route."""
     if dm.X.dtype != jnp.uint8 or k > 8:
         return None
-    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+    if jax.default_backend() not in _TPU_BACKENDS or jax.device_count() != 1:
         return None
     tm = pick_tile(*dm.X.shape)
     return (tm, k) if tm is not None else None
