@@ -255,6 +255,34 @@ def test_eigen_cache_roundtrip(tmp_path):
     ef4, d4 = build_eigen_cached(other, path, leaf=64)
     assert d4["loaded"]
 
+    # a different build seed must rebuild (the cached-factor contract is
+    # "deterministic for a given (K, seed)")
+    _, d5 = build_eigen_cached(other, path, leaf=64, seed=3)
+    assert not d5.get("loaded")
+
+    # corrupt/truncated caches are a miss, never a crash
+    with open(path, "wb") as f:
+        f.write(b"not an npz")
+    _, d6 = build_eigen_cached(other, path, leaf=64, seed=3)
+    assert not d6.get("loaded")
+    _, d7 = build_eigen_cached(other, path, leaf=64, seed=3)
+    assert d7["loaded"]  # the rebuild overwrote the corrupt file
+
+
+def test_eigen_cache_rejects_stale_at_production_ratio(tmp_path):
+    """The fingerprint must discriminate datasets in the wide-M regime:
+    trace(K) ~ N is identical for ANY two standardized same-shape Grams,
+    so a combined trace+sketch norm test is swamped by the trace at
+    production M/N (verified falsely accepting at M/N >= 128) — trace and
+    sketch are compared separately."""
+    from vampomi_tpu.ops.eigen import build_eigen_cached
+
+    path = str(tmp_path / "eig.npz")
+    n, m = 64, 16384  # M/N = 256, beyond the observed false-accept ratio
+    ef1, d1 = build_eigen_cached(_gram(n, m, seed=1), path, leaf=64)
+    _, d2 = build_eigen_cached(_gram(n, m, seed=2), path, leaf=64)
+    assert not d2.get("loaded")  # different dataset, same shape: rejected
+
 
 def test_build_eigen_compile_census():
     """Lock the dispatch-fusion design: every device op in build_eigen comes
@@ -295,9 +323,14 @@ def test_auto_solver_upgrades_to_eigen_on_mesh(tmp_path):
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=8) == "eigen"
     assert choose_lmmse_solver(cfg, mt=2000, n=300, n_devices=8) == "cg"
 
-    # a warm cache upgrades single-chip auto; a cold (absent) one does not
+    # a warm cache upgrades single-chip auto; absent, corrupt, or
+    # wrong-N files must NOT (the upgrade's premise is a free build)
     cache = tmp_path / "eig.npz"
     cfg_c = RunConfig(eigen_cache=str(cache))
     assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
-    cache.write_bytes(b"")
+    cache.write_bytes(b"")  # corrupt (empty) file
+    assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
+    np.savez(cache, n=9_999)  # wrong N
+    assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
+    np.savez(cache, n=10_000)
     assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "eigen"

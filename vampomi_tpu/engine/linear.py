@@ -463,13 +463,27 @@ def choose_lmmse_solver(cfg: RunConfig, mt: int, n: int, n_devices: int = 1) -> 
     if n <= cfg.spectral_max_n and n >= 2048 and mt >= 4 * n:
         if n_devices > 1:
             return "eigen"
-        if cfg.eigen_cache:
-            import os
-
-            if os.path.exists(cfg.eigen_cache):
-                return "eigen"
+        if cfg.eigen_cache and _cache_plausible(cfg.eigen_cache, n):
+            return "eigen"
         return "spectral"
     return "cg"
+
+
+def _cache_plausible(path: str, n: int) -> bool:
+    """Cheap pre-check that an eigen cache file is a readable npz for this
+    N — enough to justify the single-chip auto upgrade (the full
+    fingerprint validation happens inside build_eigen_cached).  A corrupt
+    or foreign file must NOT flip auto to eigen: that path was chosen
+    precisely because the build cost is a file load."""
+    import os
+
+    if not os.path.exists(path):
+        return False
+    try:
+        with np.load(path) as z:
+            return "n" in z.files and int(z["n"]) == n
+    except Exception:
+        return False
 
 
 def _log(verbose: bool, msg: str):

@@ -634,9 +634,13 @@ def build_eigen(
             n_zero = r - float(trsq)
             if abs(trX - round(trX)) < 0.25 and n_zero < 0.5:
                 break
-            sigma = sigma + (0.04 * (attempt + 1)) * (hi - sigma)
-            vlog(f"sign r={r} trace {trX:.2f} / {n_zero:.2f} modes on "
-                 f"sigma — nudging")
+            if attempt < 2:
+                # nudge only when another attempt will run: the child
+                # windows below must be derived from the sigma that
+                # actually produced the projectors in use
+                sigma = sigma + (0.04 * (attempt + 1)) * (hi - sigma)
+                vlog(f"sign r={r} trace {trX:.2f} / {n_zero:.2f} modes on "
+                     f"sigma — nudging")
         vlog(f"sign r={r} done (sigma={sigma:.4g}, trX={trX:.2f})")
 
         r1 = int(round(0.5 * (r + trX)))  # real eigs BELOW sigma
@@ -722,14 +726,23 @@ def build_eigen_cached(
     from scratch every run (src/vamp.cpp:697-751).
 
     The .npz stores (U, lam, resid, ortho, n, seed, fp); on load the
-    factor is validated against the live K by N and by a random-probe
-    fingerprint (trace + 8 sketch entries, relative 1e-3) — a stale cache
-    from a DIFFERENT dataset rebuilds and overwrites instead of silently
-    corrupting the run.  Multi-host safe: every process loads the same
-    deterministic file; only the writer process saves (atomic tmp +
-    rename, like engine/checkpoint.py)."""
+    factor is validated against the live K by N, the build seed, and a
+    random-probe fingerprint — the TRACE and the 8 sketch entries are
+    compared SEPARATELY (both relative 1e-3): the trace of any two
+    standardized same-shape Grams is ~N and would swamp a combined norm at
+    production M/N ratios, while the sketch differs at O(1) relative scale
+    between datasets.  A stale, corrupt, or truncated cache rebuilds and
+    overwrites instead of silently corrupting (or killing) the run.
+
+    Multi-process: the load-vs-build decision is made by the WRITER
+    process and broadcast, so every process runs the same collective
+    sequence (a per-process os.path.exists could disagree under shared-
+    filesystem visibility lag and deadlock the collectives); only the
+    writer saves (atomic per-pid tmp + rename, like engine/checkpoint.py).
+    """
     import os
 
+    from ..io.csv_writer import is_writer_process
     from ..sharding import fetch_global
 
     K = fac.K
@@ -739,28 +752,56 @@ def build_eigen_cached(
     # potentially non-addressable from any single process
     fp_live = np.asarray(fetch_global(_fingerprint_jit(K)), dtype=np.float64)
 
-    if os.path.exists(cache_path):
-        with np.load(cache_path) as z:
-            fp_old = np.asarray(z["fp"], dtype=np.float64) \
-                if "fp" in z else None
-            ok = (int(z["n"]) == n and fp_old is not None
-                  and fp_old.shape == fp_live.shape
-                  and np.linalg.norm(fp_old - fp_live)
-                  <= 1e-3 * max(np.linalg.norm(fp_live), 1e-30))
-            if ok:
-                U = jnp.asarray(z["U"], dtype=wd)
-                lam64 = jnp.asarray(np.asarray(z["lam"], dtype=np.float64))
-                diag = {"resid": float(z["resid"]), "ortho": float(z["ortho"]),
-                        "splits": 0, "leaves": 0, "loaded": True}
-                U, lam64 = _shard_factor(U, lam64, K)
-                return EigenFactor(U=U, lam=lam64), diag
-        if verbose:
-            print(f"eigen cache {cache_path}: dataset mismatch — rebuilding",
-                  file=sys.stderr, flush=True)
+    def _load_valid():
+        """(U, lam, resid, ortho) when the cache is present, readable, and
+        matches the live dataset+seed; None otherwise (never raises)."""
+        try:
+            with np.load(cache_path) as z:
+                if not {"U", "lam", "resid", "ortho", "n", "seed",
+                        "fp"} <= set(z.files):
+                    return None
+                fp_old = np.asarray(z["fp"], dtype=np.float64)
+                if (int(z["n"]) != n or int(z["seed"]) != seed
+                        or fp_old.shape != fp_live.shape):
+                    return None
+                tr_ok = (abs(fp_old[0] - fp_live[0])
+                         <= 1e-3 * max(abs(fp_live[0]), 1e-30))
+                sk_ok = (np.linalg.norm(fp_old[1:] - fp_live[1:])
+                         <= 1e-3 * max(np.linalg.norm(fp_live[1:]), 1e-30))
+                if not (tr_ok and sk_ok):
+                    return None
+                return (np.asarray(z["U"]), np.asarray(z["lam"]),
+                        float(z["resid"]), float(z["ortho"]))
+        except Exception:
+            return None  # unreadable/truncated file counts as a miss
+
+    loaded = _load_valid() if os.path.exists(cache_path) else None
+    if jax.process_count() > 1:
+        # all processes must take the SAME branch: follow the writer
+        from jax.experimental import multihost_utils
+
+        flag = multihost_utils.broadcast_one_to_all(
+            np.asarray(loaded is not None))
+        if not bool(flag):
+            loaded = None
+        elif loaded is None:
+            raise RuntimeError(
+                f"eigen cache {cache_path}: valid on the writer process but "
+                f"not here — the cache path must be on a shared filesystem")
+
+    if loaded is not None:
+        u_np, lam_np, resid, ortho = loaded
+        U = jnp.asarray(u_np, dtype=wd)
+        lam64 = jnp.asarray(np.asarray(lam_np, dtype=np.float64))
+        diag = {"resid": resid, "ortho": ortho,
+                "splits": 0, "leaves": 0, "loaded": True}
+        U, lam64 = _shard_factor(U, lam64, K)
+        return EigenFactor(U=U, lam=lam64), diag
+    if os.path.exists(cache_path) and verbose:
+        print(f"eigen cache {cache_path}: stale or unreadable — rebuilding",
+              file=sys.stderr, flush=True)
 
     ef, diag = build_eigen(fac, seed=seed, leaf=leaf, verbose=verbose)
-
-    from ..io.csv_writer import is_writer_process
 
     # fetch_global is COLLECTIVE (multi-process factors are mesh-sharded and
     # need an allgather) — every process must call it, then only the writer
@@ -768,7 +809,9 @@ def build_eigen_cached(
     u_host = fetch_global(ef.U)
     lam_host = fetch_global(ef.lam)
     if is_writer_process():
-        tmp = cache_path + ".tmp"
+        # per-pid tmp: two independent runs sharing one cache path must not
+        # truncate each other's in-progress file (cf. engine/checkpoint.py)
+        tmp = f"{cache_path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             np.savez(f, U=u_host, lam=lam_host,
                      resid=diag["resid"], ortho=diag["ortho"],
