@@ -69,6 +69,34 @@ def test_build_eigen_degenerate_cluster_on_mean():
     assert np.max(np.abs(lam - np.sort(vals))) < 1e-9
 
 
+@pytest.mark.parametrize("name", ["zeros30", "pairs1e-12", "outliers"])
+def test_build_eigen_spectrum_zoo(name):
+    """Adversarial spectra beyond the Wishart fixtures: a rank-deficient
+    Gram (constant markers -> exact zero cluster), near-degenerate pairs
+    split by 1e-12, and a 5-decade outlier tail over a tight bulk."""
+    rng = np.random.default_rng(0)
+    if name == "zeros30":
+        vals = np.concatenate(
+            [np.zeros(96), np.abs(rng.standard_normal(224)) + 0.1])
+    elif name == "pairs1e-12":
+        base = np.sort(np.abs(rng.standard_normal(160))) + 0.5
+        vals = np.sort(np.concatenate([base, base + 1e-12]))
+    else:
+        vals = np.concatenate(
+            [np.full(310, 1.0) + 1e-3 * rng.standard_normal(310),
+             [50.0, 120.0, 300.0, 1e4, 2e4, 1e5, 1e6, 5e6, 1e7, 2e7]])
+    n = len(vals)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    K = (Q * vals) @ Q.T
+    ef, diag = build_eigen(GramFactor(K=jnp.asarray(0.5 * (K + K.T))),
+                           leaf=64)
+    assert diag["resid"] < 1e-9
+    assert diag["ortho"] < 1e-10
+    lam = np.sort(np.asarray(ef.lam))
+    scale = np.abs(vals).max()
+    assert np.max(np.abs(lam - np.sort(vals))) / scale < 1e-12
+
+
 def test_build_eigen_f32_mp_narrow():
     """The production regime: M >> N gives the tight Marchenko-Pastur bulk
     (tiny spectral gaps) — the hard case for the sign splits."""
