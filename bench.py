@@ -7,9 +7,7 @@ shape (BASELINE.json: "VAMP iterations/s at N~1e4, M~1e6"):
 
     M >= 1e6 markers x N = 10240 samples on one chip, int8 design matrix
     (per-marker affine quantization, ops/operator.py quantize_markers —
-    1 byte/element; f32 would need 40 GB, bf16 20 GB, int8 ~10 GB of HBM),
-    eigen-LMMSE solver (ops/eigen.py: once-per-dataset diagonalization of
-    the Gram matrix; per-iteration dense work is two N^2 matvecs).
+    1 byte/element; f32 would need 40 GB, bf16 20 GB, int8 ~10 GB of HBM).
 
 vs_baseline = (time of the reference-structured algorithm on the SAME
 chip) / (our time).  The reference algorithm is Jacobi-preconditioned CG
@@ -28,27 +26,120 @@ matvec_gbps is the BASELINE.json "LMMSE matvec GB/s/chip" north star
 per-iteration dense (non-X) cost — the term that caps multi-chip scaling
 (SCALING.md).
 
-Env overrides: VAMPOMI_BENCH_DTYPE=float32|bfloat16 runs the r01/r02-
-comparable configuration (N=8192, spectral per-iteration factor) so the
-cross-round series stays interpretable; BENCH_F32_COMPANION.json records
-one such run per round.
+COLD-START CONTRACT (round-3 review, Missing #1 / Weak #1): this bench
+must print its JSON line from a fully cold machine — empty compilation
+cache, no eigen factor cache, and a TPU relay that may hang or drop mid-
+run (BENCH_r03 rc=124 was a relay hang: two backend inits 25 minutes
+apart, zero stderr after the second).  Architecture:
+
+  * a jax-free SUPERVISOR process re-execs this file as a measuring
+    CHILD and watches a heartbeat state file; a child that hangs inside
+    a stage past that stage's declared budget is killed and retried (a
+    fresh process re-dials the relay; the persistent compilation cache
+    and the eigen factor cache make a retry cheap);
+  * the child measures in ESSENTIALS-FIRST order: matvec -> Gram build
+    -> spectral-LMMSE iteration -> reference-CG baseline.  The moment
+    those finish, a complete result line is in the state file — the
+    eigen-LMMSE upgrade and the f32 cross-round companion run only under
+    the remaining wall budget (the eigen build takes a hard deadline and
+    aborts cleanly, ops/eigen.py EigenBuildTimeout);
+  * the supervisor prints the best recorded result at exit — so a relay
+    death during the OPTIONAL stages still yields the certified line.
+
+Env knobs: VAMPOMI_BENCH_BUDGET (total wall seconds, default 1260),
+VAMPOMI_BENCH_DTYPE=float32|bfloat16|int8|int4 (headline configuration),
+VAMPOMI_BENCH_EIGEN_EST (cold eigen-build estimate gating the upgrade),
+VAMPOMI_BENCH_SHAPE=M,N (smoke-test shape), VAMPOMI_BENCH_NO_SUPERVISE=1
+(single-process debug mode), VAMPOMI_BENCH_NO_COMPANION=1.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+T0 = time.time()
+BUDGET = float(os.environ.get("VAMPOMI_BENCH_BUDGET", "1260"))
+STATE_ENV = "VAMPOMI_BENCH_STATE"
+DEADLINE_ENV = "VAMPOMI_BENCH_CHILD_DEADLINE"
+
+# set by _child_imports(); module-level so the helpers below can use them
+jax = jnp = np = None
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# state file: the supervisor/child contract (atomic JSON writes)
+# --------------------------------------------------------------------------
+
+
+def _write_state(path, st):
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, path)
+
+
+def _read_state(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+class StageTracker:
+    """Child-side progress record the supervisor watches for liveness."""
+
+    def __init__(self, path):
+        self.path = path
+        self.st = {"stage": "boot", "stage_start": time.time(),
+                   "stage_max": 120, "result": None, "done": False}
+        if path:
+            _write_state(path, self.st)
+
+    def stage(self, name, max_s):
+        log(f"[stage] {name} (budget {max_s:.0f}s, "
+            f"t+{time.time() - T0:.0f}s)")
+        self.st.update(stage=name, stage_start=time.time(), stage_max=max_s)
+        if self.path:
+            _write_state(self.path, self.st)
+
+    def record(self, result):
+        self.st["result"] = result
+        if self.path:
+            _write_state(self.path, self.st)
+
+    def finish(self):
+        self.st["done"] = True
+        if self.path:
+            _write_state(self.path, self.st)
+
+
+# --------------------------------------------------------------------------
+# measurement helpers (child only — jax is imported by _child_imports)
+# --------------------------------------------------------------------------
+
+
+def _child_imports():
+    global jax, jnp, np
+    import jax as _jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the container sitecustomize pre-selects the axon platform at
+        # interpreter start; the env var alone does not undo that
+        _jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    jax, jnp, np = _jax, _jnp, _np
 
 
 def pick_shape(dtype):
@@ -165,15 +256,33 @@ def time_calls(fn, k=5):
     return (time.perf_counter() - t0) / k
 
 
-def run(m, n, dtype):
+def _itemsize(dtype):
+    return 0.5 if dtype == jnp.uint8 else jnp.dtype(dtype).itemsize
+
+
+def _dtype_name(dtype):
+    return "int4(packed)" if dtype == jnp.uint8 else jnp.dtype(dtype).name
+
+
+def run_config(m, n, dtype, tracker, deadline, headline=True):
+    """Measure one configuration, ESSENTIALS FIRST.  Returns the result
+    dict; when `headline`, intermediate results are recorded in the
+    tracker the moment they become valid so the supervisor can print them
+    even if a later optional stage wedges."""
     from vampomi_tpu.engine.linear import (
         _iteration_phase, _iteration_phase_eigen, _iteration_phase_spectral,
     )
     from vampomi_tpu.ops.operator import atx, normal_eq_mult
-    from vampomi_tpu.ops.spectral import build_spectral
+    from vampomi_tpu.ops.spectral import build_spectral, default_nb, shift_inverse
 
-    solver = "eigen" if dtype in (jnp.int8, jnp.uint8) else "spectral"
+    tag = _dtype_name(dtype)
+
+    def stage(name, max_s):
+        tracker.stage(f"{tag}:{name}", max_s)
+
+    stage("problem", 420)
     dm, y, r1, prior = make_problem(m, n, dtype)
+    sync(dm.X)
     wd = dm.wd
     gam1 = jnp.asarray(1.0)
     gamw = jnp.asarray(10.0)
@@ -185,89 +294,43 @@ def run(m, n, dtype):
     # ---- north-star metric: LMMSE matvec GB/s (one A^T A v = 2 passes) ----
     # dm must be an ARGUMENT, not a closure capture: captured operands lower
     # as multi-GB inline constants and overflow the remote-compile transport
-    itemsize = 0.5 if dtype == jnp.uint8 else jnp.dtype(dtype).itemsize
+    stage("matvec", 360)
     nev = jax.jit(lambda d, v: normal_eq_mult(d, v, gamw, gam1))
     t_mv = time_calls(lambda: nev(dm, r1), k=10)
-    matvec_gbps = 2 * m * n * itemsize / t_mv / 1e9
+    matvec_gbps = 2 * m * n * _itemsize(dtype) / t_mv / 1e9
     log(f"LMMSE matvec (A^T A v): {t_mv*1e3:.2f} ms = "
-        f"{matvec_gbps:.0f} GB/s over the "
-        f"{jnp.dtype(dtype).name} X (2 HBM passes)")
+        f"{matvec_gbps:.0f} GB/s over the {tag} X (2 HBM passes)")
 
-    # ---- our path: exact LMMSE via the Gram eigenbasis (or factor) ----
+    # ---- spectral path: exact LMMSE via the per-iteration Gram factor ----
+    stage("gram", 360)
     t0 = time.perf_counter()
     fac = build_spectral(dm)
-    jax.block_until_ready(fac.K)
+    sync(fac.K)
     t_build = time.perf_counter() - t0
     log(f"gram build: {t_build:.2f}s (once per dataset)")
     aty = jax.jit(atx)(dm, y)
 
-    if solver == "eigen":
-        from vampomi_tpu.ops.eigen import build_eigen_cached, eigen_weights
+    stage("spectral", 540)
 
-        # free X for the duration of the dense build (the build needs only
-        # K); regenerate it bit-identically afterwards.  Holding a 10+ GB X
-        # next to the build's N^2 transients measured an HBM OOM at the
-        # assembly stage.
-        placeholder = jnp.zeros(
-            (16384, n // 2 if dtype == jnp.uint8 else n), dtype=dtype)
-        dm = dm._replace(X=placeholder)
-        import gc
+    @jax.jit
+    def dense_piece_sp(fv, t, g):
+        winv = shift_inverse(fv, t, g, nb=default_nb(n))
+        return winv.W
 
-        gc.collect()
+    t_dense = time_calls(lambda: dense_piece_sp(fac, gamw, gam1), k=5)
+    log(f"factor dense piece (shift_inverse): {t_dense*1e3:.2f} ms")
 
-        # factor persists across bench invocations (X is PRNG-regenerated,
-        # so K is deterministic per (m, n, dtype) and the fingerprint
-        # validates the reload); a repeated driver run skips the build
-        cache = os.path.join(
-            tempfile.gettempdir(),
-            f"vampomi_bench_eigen_{os.getuid()}_{m}_{n}_{np.dtype(dtype).name}.npz")
-        t0 = time.perf_counter()
-        ef, diag = build_eigen_cached(fac, cache, verbose=True)
-        sync(ef.U)
-        t_eig = time.perf_counter() - t0
-        log(f"eigen {'load' if diag.get('loaded') else 'build'}: "
-            f"{t_eig:.1f}s (once per dataset; residual "
-            f"{diag['resid']:.2e}, ortho {diag['ortho']:.2e})")
-        if diag["resid"] > 1e-3:
-            raise RuntimeError(f"eigen residual {diag['resid']} out of spec")
-        del fac
-        dm = dm._replace(X=gen_x(m, n, dtype))
+    def ours_spectral():
+        return _iteration_phase_spectral(
+            dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
+        )["x1_hat"]
 
-        # dense_ms: the per-iteration non-X dense work in isolation
-        @jax.jit
-        def dense_piece(efv, vv, t, g):
-            d, T = eigen_weights(efv, t, g)
-            with jax.default_matmul_precision("highest"):
-                q = efv.U @ (d.astype(jnp.float32) * (efv.U.T @ vv))
-            return q, T
-
-        t_dense = time_calls(lambda: dense_piece(ef, y, gamw, gam1)[0], k=10)
-        log(f"eigen dense piece (2 N^2 matvecs + traces): {t_dense*1e3:.2f} ms")
-
-        def ours():
-            return _iteration_phase_eigen(
-                dm, ef, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
-            )["x1_hat"]
-    else:
-        from vampomi_tpu.ops.spectral import default_nb, shift_inverse
-
-        @jax.jit
-        def dense_piece(fv, t, g):
-            winv = shift_inverse(fv, t, g, nb=default_nb(n))
-            return winv.W
-
-        t_dense = time_calls(lambda: dense_piece(fac, gamw, gam1), k=5)
-        log(f"factor dense piece (shift_inverse): {t_dense*1e3:.2f} ms")
-
-        def ours():
-            return _iteration_phase_spectral(
-                dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts,
-            )["x1_hat"]
-
-    t_ours = time_calls(ours)
-    log(f"{solver}: iteration {t_ours*1e3:.1f} ms")
+    t_ours = time_calls(ours_spectral)
+    solver = "spectral"
+    log(f"spectral: iteration {t_ours*1e3:.1f} ms")
 
     # ---- reference-structured path: warm-started CG + Hutchinson probe ----
+    stage("cg", 540)
     key = jax.random.PRNGKey(1)
     bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
     cg_max = jnp.asarray(500)   # reference defaults, src/options.hpp:83-84
@@ -298,15 +361,114 @@ def run(m, n, dtype):
     log(f"cg (reference structure): iteration {t_ref*1e3:.1f} ms "
         f"({cg_iters} warm-started CG iters at tol {float(cg_tol):g})")
 
-    return t_ours, t_ref, matvec_gbps, t_dense
+    def result_dict():
+        return {
+            "metric": "vamp_iter_per_s",
+            "value": round(1.0 / t_ours, 3),
+            "unit": f"full VAMP iterations/s at M={m}, N={n}, {tag} "
+                    f"({solver} LMMSE)",
+            "vs_baseline": round(t_ref / t_ours, 3),
+            "matvec_gbps": round(matvec_gbps, 1),
+            "dense_ms": round(t_dense * 1e3, 2),
+        }
+
+    # ESSENTIALS DONE — a certified line exists from here on
+    if headline:
+        tracker.record(result_dict())
+
+    # ---- optional upgrade: eigen-LMMSE (once-per-dataset diagonalization,
+    # per-iteration dense work two N^2 matvecs instead of ~2N^3/3) ----
+    eigen_reserve = 150.0  # timing + regeneration after a successful build
+    eigen_est = float(os.environ.get("VAMPOMI_BENCH_EIGEN_EST", "480"))
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"vampomi_bench_eigen_{os.getuid()}_{m}_{n}_{np.dtype(dtype).name}.npz")
+    warm = os.path.exists(cache)
+    remaining = deadline - time.time()
+    want_eigen = headline and dtype in (jnp.int8, jnp.uint8) and (
+        remaining > (180.0 if warm else eigen_est) + eigen_reserve)
+    if headline and dtype in (jnp.int8, jnp.uint8) and not want_eigen:
+        log(f"eigen upgrade skipped: {remaining:.0f}s of budget left, "
+            f"cache {'warm' if warm else 'cold'} (est {eigen_est:.0f}s) — "
+            f"keeping the spectral-solver result")
+    if want_eigen:
+        from vampomi_tpu.ops.eigen import (
+            EigenBuildTimeout, build_eigen_cached, eigen_weights,
+        )
+
+        stage("eigen", min(remaining, eigen_est * 2) + 90)
+        # free X for the duration of the dense build (the build needs only
+        # K); regenerate it bit-identically afterwards.  Holding a 10+ GB X
+        # next to the build's N^2 transients measured an HBM OOM at the
+        # assembly stage.
+        placeholder = jnp.zeros(
+            (16384, n // 2 if dtype == jnp.uint8 else n), dtype=dtype)
+        dm = dm._replace(X=placeholder)
+        import gc
+
+        gc.collect()
+        try:
+            t0 = time.perf_counter()
+            ef, diag = build_eigen_cached(
+                fac, cache, verbose=True, deadline=deadline - eigen_reserve)
+            sync(ef.U)
+            t_eig = time.perf_counter() - t0
+            log(f"eigen {'load' if diag.get('loaded') else 'build'}: "
+                f"{t_eig:.1f}s (once per dataset; residual "
+                f"{diag['resid']:.2e}, ortho {diag['ortho']:.2e})")
+            if diag["resid"] > 1e-3:
+                raise RuntimeError(f"eigen residual {diag['resid']} out of spec")
+        except EigenBuildTimeout as e:
+            log(f"eigen build hit the bench deadline ({e}) — keeping the "
+                f"spectral-solver result")
+            ef = None
+        if ef is not None:
+            del fac
+            dm = dm._replace(X=gen_x(m, n, dtype))
+
+            # dense_ms: the per-iteration non-X dense work in isolation
+            @jax.jit
+            def dense_piece_ei(efv, vv, t, g):
+                d, T = eigen_weights(efv, t, g)
+                with jax.default_matmul_precision("highest"):
+                    q = efv.U @ (d.astype(jnp.float32) * (efv.U.T @ vv))
+                return q, T
+
+            t_dense = time_calls(lambda: dense_piece_ei(ef, y, gamw, gam1)[0],
+                                 k=10)
+            log(f"eigen dense piece (2 N^2 matvecs + traces): "
+                f"{t_dense*1e3:.2f} ms")
+
+            def ours_eigen():
+                return _iteration_phase_eigen(
+                    dm, ef, aty, y, r1, gam1, prior, x1_prev, damp, rho,
+                    gamw, ts,
+                )["x1_hat"]
+
+            t_eigen_it = time_calls(ours_eigen)
+            log(f"eigen: iteration {t_eigen_it*1e3:.1f} ms")
+            if t_eigen_it < t_ours:
+                t_ours, solver = t_eigen_it, "eigen"
+                tracker.record(result_dict())
+        else:
+            dm = dm._replace(X=gen_x(m, n, dtype))
+
+    xbytes = m * n * _itemsize(dtype)
+    log(f"shape: M={m}, N={n}, dtype={tag}; X = {xbytes/2**30:.2f} GiB; "
+        f"solver = {solver}")
+    return result_dict()
 
 
-def main() -> None:
+def child_main(state_path):
+    _child_imports()
+    tracker = StageTracker(state_path)
+    deadline = float(os.environ.get(DEADLINE_ENV, T0 + BUDGET))
+
     # int8 X (vectors f32) is the capacity configuration: 1 byte/element
     # reaches the literal north-star M >= 1e6 x N >= 1e4 on one chip.
     # Trajectory accuracy vs f32 on this chip is recorded in
     # INT8_ACCURACY.json (tools/int8_accuracy.py); bf16's in
-    # BF16_ACCURACY.json.  Override with VAMPOMI_BENCH_DTYPE.
+    # BF16_ACCURACY.json, packed int4's in INT4_ACCURACY.json.
     dtype = {
         "float32": jnp.float32,
         "bfloat16": jnp.bfloat16,
@@ -322,7 +484,7 @@ def main() -> None:
         m, n = (int(v) for v in shape_env.split(","))
     while True:
         try:
-            t_ours, t_ref, matvec_gbps, t_dense = run(m, n, dtype)
+            result = run_config(m, n, dtype, tracker, deadline, headline=True)
             break
         except Exception as e:  # RESOURCE_EXHAUSTED -> back off and retry
             if "RESOURCE_EXHAUSTED" not in str(e) or m <= 16384:
@@ -340,23 +502,119 @@ def main() -> None:
             e = None
             gc.collect()
             time.sleep(3.0)
+    tracker.record(result)
 
-    xbytes = m * n * (0.5 if dtype == jnp.uint8 else jnp.dtype(dtype).itemsize)
-    name = "int4(packed)" if dtype == jnp.uint8 else jnp.dtype(dtype).name
-    log(f"shape: M={m}, N={n}, dtype={name}; X = {xbytes/2**30:.2f} GiB")
-    print(
-        json.dumps(
-            {
-                "metric": "vamp_iter_per_s",
-                "value": round(1.0 / t_ours, 3),
-                "unit": f"full VAMP iterations/s at M={m}, N={n}, {name}",
-                "vs_baseline": round(t_ref / t_ours, 3),
-                "matvec_gbps": round(matvec_gbps, 1),
-                "dense_ms": round(t_dense * 1e3, 2),
-            }
-        )
-    )
+    # ---- cross-round f32 companion, same invocation (round-3 ask #10) ----
+    remaining = deadline - time.time()
+    comp_est = float(os.environ.get("VAMPOMI_BENCH_COMPANION_EST", "420"))
+    if (dtype != jnp.float32
+            and os.environ.get("VAMPOMI_BENCH_NO_COMPANION") != "1"
+            and not shape_env
+            and remaining > comp_est):
+        try:
+            cm, cn = pick_shape(jnp.float32)
+            comp = run_config(cm, cn, jnp.float32, tracker, deadline,
+                              headline=False)
+            log(f"f32 companion: {json.dumps(comp)}")
+            comp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "BENCH_F32_COMPANION.json")
+            with open(comp_path, "w") as f:
+                json.dump({
+                    "companion": comp,
+                    "purpose": "Cross-round comparability: the headline bench "
+                               "runs int8 at the literal north-star shape, so "
+                               "this records the f32/spectral configuration "
+                               "at the reference CG tolerance 1e-5, emitted "
+                               "by the SAME bench invocation (round-3 review "
+                               "ask #10).  Series: r01 28.2 it/s at M=158720; "
+                               "r03 17.36 it/s at M=344064.",
+                }, f, indent=1)
+        except Exception as e:
+            log(f"f32 companion failed ({type(e).__name__}: {e}) — headline "
+                f"result unaffected")
+    else:
+        log(f"f32 companion skipped ({remaining:.0f}s of budget left, "
+            f"est {comp_est:.0f}s)")
+
+    tracker.finish()
+    if not state_path:
+        # unsupervised debug mode prints its own line
+        print(json.dumps(result))
+
+
+def supervise():
+    """jax-free parent: run the child under stage-level liveness watching,
+    retry on hang/crash, print the best recorded result."""
+    state_path = os.path.join(
+        tempfile.gettempdir(), f"vampomi_bench_state_{os.getpid()}.json")
+    deadline = T0 + BUDGET
+    best = None
+    attempt = 0
+    while attempt < 3:
+        attempt += 1
+        if deadline - time.time() < 60:
+            break
+        # a stale state file from a killed attempt would trip the overdue
+        # check before the fresh child writes its first heartbeat
+        try:
+            os.unlink(state_path)
+        except OSError:
+            pass
+        env = dict(os.environ)
+        env[STATE_ENV] = state_path
+        env[DEADLINE_ENV] = str(deadline - 20.0)
+        log(f"supervisor: starting child (attempt {attempt}, "
+            f"{deadline - time.time():.0f}s of budget left)")
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, stdout=sys.stderr, stderr=sys.stderr)
+        while True:
+            rc = proc.poll()
+            st = _read_state(state_path) or {}
+            if st.get("result"):
+                best = st["result"]
+            if rc is not None:
+                break
+            now = time.time()
+            overdue = (st and "stage_start" in st
+                       and now > st["stage_start"] + st.get("stage_max", 600))
+            if now > deadline - 15 or overdue:
+                why = ("budget exhausted" if now > deadline - 15 else
+                       f"stage '{st.get('stage', '?')}' exceeded its "
+                       f"{st.get('stage_max', 600):.0f}s budget (hang)")
+                log(f"supervisor: killing child — {why}")
+                proc.kill()
+                proc.wait()
+                break
+            time.sleep(5)
+        st = _read_state(state_path) or {}
+        if st.get("result"):
+            best = st["result"]
+        if st.get("done") or proc.returncode == 0:
+            break
+        if time.time() > deadline - 60:
+            break
+        log("supervisor: child did not finish cleanly — retrying")
+    try:
+        os.unlink(state_path)
+    except OSError:
+        pass
+    if best:
+        print(json.dumps(best))
+        return 0
+    log("supervisor: no result produced within the budget")
+    return 1
+
+
+def main() -> int:
+    if os.environ.get(STATE_ENV):
+        child_main(os.environ[STATE_ENV])
+        return 0
+    if os.environ.get("VAMPOMI_BENCH_NO_SUPERVISE") == "1":
+        child_main("")
+        return 0
+    return supervise()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
+# bench defers its jax imports to the measuring child process (the
+# supervisor parent must stay jax-free); tests play the child
+bench._child_imports()
+
 
 def test_gen_x_is_deterministic():
     a = np.asarray(bench.gen_x(32768, 64, jnp.int8))

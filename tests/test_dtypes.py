@@ -73,6 +73,33 @@ def test_int8_quantization_roundtrip(small_fixture):
     assert np.abs(sd - 1.0).max() < 1e-9
 
 
+def test_quantized_design_ignores_raw_stats(small_fixture):
+    """Caller-supplied raw-data stats (fused native ingest) must NOT be
+    folded into a quantized design: the standardization has to target the
+    DEQUANTIZED matrix, else the code matrix carries a quantization-sized
+    mean/sd bias (round-3 advisor finding).  The design built with raw
+    stats must be bit-identical to one built without."""
+    X = np.asarray(small_fixture.X.T, dtype=np.float64)
+    n = X.shape[1]
+    mave_raw = X.mean(axis=1)
+    msig_raw = 1.0 / np.sqrt(((X - mave_raw[:, None]) ** 2).sum(axis=1)
+                             / (n - 1.0))
+    for dt in (jnp.int8, jnp.uint8):
+        dm_plain = build_design(X, compute_dtype=dt)
+        dm_stats = build_design(X, compute_dtype=dt,
+                                stats=(mave_raw, msig_raw))
+        np.testing.assert_array_equal(np.asarray(dm_plain.mave),
+                                      np.asarray(dm_stats.mave))
+        np.testing.assert_array_equal(np.asarray(dm_plain.msig),
+                                      np.asarray(dm_stats.msig))
+        np.testing.assert_array_equal(np.asarray(dm_plain.X),
+                                      np.asarray(dm_stats.X))
+    # ...and a float design still honors the supplied stats verbatim
+    dmf = build_design(X, compute_dtype=jnp.float64,
+                       stats=(mave_raw, msig_raw))
+    np.testing.assert_allclose(np.asarray(dmf.mave)[: X.shape[0]], mave_raw)
+
+
 def test_int8_gram_close_to_f64(small_fixture):
     from vampomi_tpu.ops.spectral import gram
 

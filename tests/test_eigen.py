@@ -343,13 +343,21 @@ def test_build_eigen_compile_census():
 
 
 def test_auto_solver_upgrades_to_eigen_on_mesh(tmp_path):
+    """Auto upgrades to eigen only on a WARM cache — single-chip AND
+    multi-chip alike (round-3 review Weak #2: a cold mesh run must not pay
+    the ~20-min remote-compile eigen build before iteration 1)."""
     from vampomi_tpu.config import RunConfig
     from vampomi_tpu.engine.linear import choose_lmmse_solver
 
     cfg = RunConfig()
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
-    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=8) == "eigen"
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000, n_devices=8) == "spectral"
     assert choose_lmmse_solver(cfg, mt=2000, n=300, n_devices=8) == "cg"
+    # a warm cache upgrades the mesh path exactly like single-chip
+    mcache = tmp_path / "mesh_eig.npz"
+    np.savez(mcache, n=10_000)
+    cfg_m = RunConfig(eigen_cache=str(mcache))
+    assert choose_lmmse_solver(cfg_m, mt=1_000_000, n=10_000, n_devices=8) == "eigen"
 
     # a warm cache upgrades single-chip auto; absent, corrupt, or
     # wrong-N files must NOT (the upgrade's premise is a free build)

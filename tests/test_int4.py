@@ -155,6 +155,14 @@ def test_pallas_packed4_kernels_interpret(small_fixture):
     np.testing.assert_allclose(zk, want_z, rtol=2e-2, atol=2e-1)
     assert zk.shape == (n, 2)
 
+    # reduce direction, K right-hand sides (CG/probit/Onsager batch)
+    Y = rng.normal(size=(n, 3)).astype(np.float32)
+    vk = np.asarray(pallas_matvec.atx_batch_packed4_raw(
+        Xp, jnp.asarray(Y), (tm, 3), interpret=True))
+    want_v = codes.astype(np.float64) @ Y.astype(np.float64)
+    np.testing.assert_allclose(vk, want_v, rtol=2e-5, atol=1e-3)
+    assert vk.shape == (m, 3)
+
 
 def test_atx_wiring_packed4(small_fixture, monkeypatch):
     """Force the gate open (interpret mode): full atx/ax_batch through the
@@ -186,10 +194,27 @@ def test_atx_wiring_packed4(small_fixture, monkeypatch):
         functools.partial(pallas_matvec.ax_batch_packed4_raw.__wrapped__,
                           interpret=True),
     )
+    monkeypatch.setattr(
+        pallas_matvec, "atx_batch_packed4_applicable", lambda _dm, k: (tm, k)
+    )
+    monkeypatch.setattr(
+        pallas_matvec, "atx_batch_packed4_raw",
+        functools.partial(pallas_matvec.atx_batch_packed4_raw.__wrapped__,
+                          interpret=True),
+    )
     v_kernel = np.asarray(atx(dm, y))
     z_kernel = np.asarray(ax_batch(dm, xs))
     np.testing.assert_allclose(v_kernel, v_fallback, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(z_kernel, z_fallback, rtol=2e-2, atol=2e-2)
+
+    ys = jnp.asarray(rng.normal(size=(X.shape[0], 2)).astype(np.float32))
+    from vampomi_tpu.ops.operator import atx_batch
+    vb_kernel = np.asarray(atx_batch(dm, ys))
+    monkeypatch.setattr(
+        pallas_matvec, "atx_batch_packed4_applicable", lambda _dm, k: None
+    )
+    vb_fallback = np.asarray(atx_batch(dm, ys))
+    np.testing.assert_allclose(vb_kernel, vb_fallback, rtol=2e-2, atol=2e-2)
 
 
 def test_shard_invariance_packed4(small_fixture, mesh8):

@@ -162,13 +162,51 @@ def test_probit_spectral_converges(tmp_path):
     assert abs(acc_s - acc_c) < 0.05
 
 
-def test_auto_solver_choice():
+def test_em_stability_warning(capsys):
+    """EM on at M/N >= 16 — the regime EM_STABILITY.json measures as
+    collapsing — must produce the one-line warning pointing at the
+    --init-conf warm-start remedy; EM off or narrow M/N must not."""
+    from vampomi_tpu.engine.linear import warn_em_stability
+
+    cfg = RunConfig()  # learn_vars defaults to 1 (reference options.hpp)
+    assert warn_em_stability(cfg, mt=1_000_000, n=10_000)
+    assert "--init-conf" in capsys.readouterr().err
+    assert not warn_em_stability(cfg, mt=10_000, n=10_000)
+    assert not warn_em_stability(cfg.replace(learn_vars=0),
+                                 mt=1_000_000, n=10_000)
+    assert capsys.readouterr().err == ""
+
+
+def test_auto_solver_choice(tmp_path):
     cfg = RunConfig()
     assert choose_lmmse_solver(cfg, mt=2000, n=300) == "cg"          # tiny N
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000) == "spectral"
     assert choose_lmmse_solver(cfg, mt=20_000, n=10_000) == "cg"     # Mt < 4N
     assert choose_lmmse_solver(cfg, mt=1_000_000, n=32_768) == "cg"  # N too big
     assert choose_lmmse_solver(cfg.replace(lmmse_solver="spectral"), 10, 10) == "spectral"
+
+    # multi-chip auto with NO warm cache picks spectral (round-3 review,
+    # Weak #2: a cold mesh run must not pay the ~20-min remote-compile
+    # eigen build before iteration 1)
+    assert choose_lmmse_solver(cfg, mt=1_000_000, n=10_000,
+                               n_devices=8) == "spectral"
+    missing = str(tmp_path / "nope.npz")
+    assert choose_lmmse_solver(cfg.replace(eigen_cache=missing),
+                               mt=1_000_000, n=10_000,
+                               n_devices=8) == "spectral"
+    # ...a corrupt cache file must not flip it either
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    assert choose_lmmse_solver(cfg.replace(eigen_cache=str(bad)),
+                               mt=1_000_000, n=10_000,
+                               n_devices=8) == "spectral"
+    # ...while a warm plausible cache upgrades both 1-chip and mesh auto
+    warm = tmp_path / "warm.npz"
+    np.savez(warm, n=np.asarray(10_000))
+    for nd in (1, 8):
+        assert choose_lmmse_solver(cfg.replace(eigen_cache=str(warm)),
+                                   mt=1_000_000, n=10_000,
+                                   n_devices=nd) == "eigen"
 
 
 def test_spectral_solve_extreme_shifts(problem, factor):

@@ -107,6 +107,33 @@ def test_blosc_chunk_roundtrip_shuffle_split():
     assert blosc_decompress(chunk2) == blob
 
 
+def test_blosc_multiblock_partial_leftover():
+    """A multi-block chunk whose FINAL block is partial: c-blosc compresses
+    the leftover block as ONE stream even when its size divides typesize
+    with >=128 B/stream (split_block is gated on !leftoverblock, blosc.c) —
+    the round-3 advisor found the decoder mis-split it.  The fixture writer
+    mirrors c-blosc, so an asymmetric encode/decode would fail round-trip."""
+    from vampomi_tpu.io.blosc_lite import blosc_compress_lz4, blosc_decompress
+
+    rng = np.random.default_rng(7)
+    # 3 full 4096-byte blocks + a 2048-byte leftover.  2048 % 8 == 0 and
+    # 2048/8 = 256 >= 128, so a naive decoder WOULD split the leftover.
+    arr = 1.0 + np.arange((3 * 4096 + 2048) // 8) * 1e-12
+    raw = arr.astype("<f8").tobytes()
+    chunk = blosc_compress_lz4(raw, typesize=8, shuffle=True, blocksize=4096)
+    assert blosc_decompress(chunk) == raw
+
+    # incompressible variant: leftover stored verbatim, still one stream
+    blob = rng.integers(0, 256, size=3 * 4096 + 2048, dtype=np.uint8).tobytes()
+    chunk2 = blosc_compress_lz4(blob, typesize=8, shuffle=True, blocksize=4096)
+    assert blosc_decompress(chunk2) == blob
+
+    # exact multiple of blocksize: no leftover, all blocks split normally
+    blob3 = raw[: 2 * 4096]
+    chunk3 = blosc_compress_lz4(blob3, typesize=8, shuffle=True, blocksize=4096)
+    assert blosc_decompress(chunk3) == blob3
+
+
 def test_blosc_memcpyed_chunk():
     from vampomi_tpu.io.blosc_lite import blosc_decompress
     import struct

@@ -122,15 +122,14 @@ def load_dataset(
     if "scale_local" in qinfo:
         # every process needs the GLOBAL scale (the LOO add-back indexes
         # markers globally); shards are contiguous per process, so an
-        # allgather + flatten reconstructs marker order
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        # allgather + flatten reconstructs marker order.  This path only
+        # runs with process_count() > 1 (the single-process case returned
+        # above), so the allgather is unconditional.
+        from jax.experimental import multihost_utils
 
-            qscale = np.asarray(
-                multihost_utils.process_allgather(qinfo["scale_local"])
-            ).reshape(-1)[:mt]
-        else:
-            qscale = qinfo["scale_local"][:mt]
+        qscale = np.asarray(
+            multihost_utils.process_allgather(qinfo["scale_local"])
+        ).reshape(-1)[:mt]
     return Dataset(dm=dm, phen=phen, covariates=covs, qscale=qscale)
 
 

@@ -25,6 +25,7 @@ Scaling conventions (must match the reference to reproduce its numbers):
 from __future__ import annotations
 
 import functools
+import sys
 import time
 from typing import NamedTuple
 
@@ -456,17 +457,56 @@ def choose_lmmse_solver(cfg: RunConfig, mt: int, n: int, n_devices: int = 1) -> 
     production iteration counts.  A WARM --eigen-cache upgrades single-chip
     auto too: the build cost is a file load, and eigen's per-iteration
     dense work (two N^2 matvecs, ~4 ms at N=10240) strictly beats the
-    spectral factor's 2N^3/3 (~30 ms)."""
+    spectral factor's 2N^3/3 (~30 ms).
+
+    Multi-chip auto requires the SAME warm cache (round-3 review, Weak #2):
+    the diagonalization is ~2 s of MXU FLOPs but ~minutes of remote
+    compiles on a cold compilation cache, and silently charging that to a
+    user's first mesh run before iteration 1 is a footgun.  Cold multi-chip
+    runs get spectral (still exact, still psum-structured) plus a logged
+    hint; `--lmmse-solver eigen` or a warmed `--eigen-cache` opts into the
+    scaling-optimal path explicitly."""
     s = cfg.lmmse_solver
     if s != "auto":
         return s
     if n <= cfg.spectral_max_n and n >= 2048 and mt >= 4 * n:
-        if n_devices > 1:
-            return "eigen"
         if cfg.eigen_cache and _cache_plausible(cfg.eigen_cache, n):
             return "eigen"
+        if n_devices > 1 and jax.process_index() == 0:
+            print(
+                "auto LMMSE solver: picked spectral on a cold "
+                f"{n_devices}-device mesh — warm an --eigen-cache (or pass "
+                "--lmmse-solver eigen) to switch the per-iteration dense "
+                "work from the replicated 2N^3/3 factor to two N^2 matvecs "
+                "(SCALING.md: projected 8-chip efficiency 0.30 -> 0.91)",
+                flush=True,
+            )
         return "spectral"
     return "cg"
+
+
+def warn_em_stability(cfg: RunConfig, mt: int, n: int) -> bool:
+    """One-line stderr warning when the EM hyperparameter updates are on in
+    a regime where they are MEASURED to collapse (EM_STABILITY.json: every
+    M/N >= 16 case except the smallest N diverged — engine and f64 numpy
+    oracle alike, so the instability is algorithmic and inherited from the
+    reference's gamw/prior EM, src/vamp.cpp:531-643).  The reference's own
+    remedy is its documented Gibbs warm-start workflow (README.md:170-213),
+    which this framework spells `--init-conf` (+ the Gibbs sampler /
+    scripts/conf_gibbs_init.py); `--learn-prior-delay` and `--learn-vars 0`
+    are the blunter instruments.  Returns True when the warning fired
+    (tested); printing is rank-0 only."""
+    risky = bool(cfg.learn_vars) and n > 0 and mt >= 16 * n
+    if risky and jax.process_index() == 0:
+        print(
+            f"WARNING: EM prior/noise learning is ON at M/N = {mt / n:.0f} "
+            "(>= 16), where the EM recursion is measured to collapse "
+            "(EM_STABILITY.json) — consider a Gibbs warm start via "
+            "--init-conf (see scripts/conf_gibbs_init.py), a longer "
+            "--learn-prior-delay, or --learn-vars 0 with known variances",
+            file=sys.stderr, flush=True,
+        )
+    return risky
 
 
 def _cache_plausible(path: str, n: int) -> bool:
@@ -600,6 +640,7 @@ def infere_linear(
     if isinstance(dm.X.sharding, NamedSharding):
         n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
     solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
+    warn_em_stability(cfg, Mt, N)
     fac = None
     ef = None
     aty_adj = jax.jit(atx)(dm, y_adj)  # constant across iterations

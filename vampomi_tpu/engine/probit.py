@@ -45,7 +45,7 @@ from ..ops.spectral import (
 from ..prior.mixture import MixturePrior, em_update, g1, g1d
 from .linear import (
     GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
-    choose_lmmse_solver,
+    choose_lmmse_solver, warn_em_stability,
 )
 from .metrics import confusion_counts
 
@@ -325,6 +325,7 @@ def infere_bin_class(
     if isinstance(dm.X.sharding, NamedSharding):
         n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
     solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
+    warn_em_stability(cfg, Mt, N)
     fac = None
     if solver in ("spectral", "eigen"):
         t_fac = time.time()

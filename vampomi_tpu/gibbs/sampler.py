@@ -80,6 +80,16 @@ def build_block_grams(dm: DesignMatrix, block: int = 256) -> jax.Array:
     """
     nb = dm.m_pad // block
 
+    # int8 codes contract exactly in int32 only while |sum| <= 127^2 * N
+    # stays below 2^31 (N < ~133k samples); packed int4 codes are bounded by
+    # 8^2 * N (N < ~33M).  Fail loudly instead of silently overflowing the
+    # within-block corrections (round-3 advisor finding).
+    if dm.X.dtype == jnp.int8 and dm.X.shape[1] * 127 * 127 >= 2**31:
+        raise ValueError(
+            f"int8 block-Gram would overflow its exact int32 accumulation at "
+            f"N={dm.X.shape[1]} (limit {2**31 // (127 * 127)}); use a float "
+            f"design dtype for the Gibbs stage at this sample count")
+
     def one(b):
         d = _block_dm(dm, b, block)
         if dm.X.dtype in (jnp.int8, jnp.uint8):

@@ -115,15 +115,22 @@ def _unshuffle(data: bytes, typesize: int) -> bytes:
     return arr.reshape(typesize, n).T.tobytes()
 
 
-def _split_streams(codec: int, shuffle: bool, typesize: int, neblock: int) -> int:
+def _split_streams(
+    codec: int, shuffle: bool, typesize: int, neblock: int,
+    leftover: bool = False,
+) -> int:
     """c-blosc1 splits a block into `typesize` streams for blosclz/lz4 when
     2 <= typesize <= 16 and the per-stream size is >= 128 bytes and the
-    block divides evenly (split_block + the leftover-block special case in
-    c-blosc blosc.c) — other codecs compress the block as one stream.
-    The split is independent of the shuffle flag (streams are contiguous
-    segments of the possibly-shuffled block either way)."""
+    block is NOT the leftover (final partial) block — c-blosc's split_block
+    is gated on `!leftoverblock` (blosc.c), so a chunk whose nbytes is not
+    a multiple of the blocksize compresses its last block as ONE stream
+    even when its size happens to divide typesize (round-3 advisor
+    finding).  Other codecs compress the block as one stream.  The split is
+    independent of the shuffle flag (streams are contiguous segments of the
+    possibly-shuffled block either way)."""
     if (
         codec in (0, 1)
+        and not leftover
         and 2 <= typesize <= 16
         and neblock % typesize == 0
         and neblock // typesize >= 128
@@ -161,7 +168,9 @@ def blosc_decompress(raw: bytes) -> bytes:
     out = bytearray()
     for j, bs in enumerate(bstarts):
         neblock = min(blocksize, nbytes - j * blocksize)
-        nstreams = _split_streams(codec, shuffle, typesize, neblock)
+        nstreams = _split_streams(
+            codec, shuffle, typesize, neblock, leftover=neblock < blocksize
+        )
         per = neblock // nstreams
         pos = bs
         block = bytearray()
@@ -242,34 +251,59 @@ def _lz4_compress_naive(src: bytes) -> bytes:
     return _emit_literals(src)
 
 
-def blosc_compress_lz4(data: bytes, typesize: int, shuffle: bool = True) -> bytes:
-    """Build one single-block Blosc1 chunk (codec lz4) from `data`."""
+def blosc_compress_lz4(
+    data: bytes, typesize: int, shuffle: bool = True, blocksize: int = 0,
+) -> bytes:
+    """Build one Blosc1 chunk (codec lz4) from `data`.  Default: a single
+    block spanning the chunk.  An explicit `blocksize` (multiple of
+    typesize, like c-blosc picks) produces a multi-block chunk whose FINAL
+    block may be partial — c-blosc compresses that leftover block as one
+    unsplit stream (see _split_streams), and this writer mirrors it so the
+    decoder's leftover path has a genuine fixture."""
     nbytes = len(data)
     if shuffle and typesize > 1 and nbytes % typesize == 0:
-        arr = np.frombuffer(data, dtype=np.uint8)
-        shuf = arr.reshape(-1, typesize).T.tobytes()
+        shuffle = True
     else:
         shuffle = False
-        shuf = data
-    blocksize = nbytes  # single block
+    if blocksize <= 0:
+        blocksize = max(nbytes, 1)
+    if shuffle and blocksize % typesize != 0:
+        raise ValueError("blocksize must be a multiple of typesize")
     codec = 1
-    nstreams = _split_streams(codec, shuffle, typesize, nbytes) if nbytes else 1
-    per = nbytes // nstreams if nstreams else 0
+    nblocks = max((nbytes + blocksize - 1) // blocksize, 1)
 
+    bstarts = []
     body = bytearray()
-    for s in range(nstreams):
-        stream = shuf[s * per:(s + 1) * per]
-        comp = _lz4_compress_naive(stream)
-        if len(comp) >= per:  # store verbatim, exactly like c-blosc
-            body += struct.pack("<i", per) + stream
+    body_base = 16 + 4 * nblocks
+    for j in range(nblocks):
+        raw_block = data[j * blocksize:(j + 1) * blocksize]
+        neblock = len(raw_block)
+        if shuffle and neblock % typesize == 0 and neblock:
+            arr = np.frombuffer(raw_block, dtype=np.uint8)
+            shuf = arr.reshape(-1, typesize).T.tobytes()
         else:
-            body += struct.pack("<i", len(comp)) + comp
+            shuf = raw_block
+        nstreams = _split_streams(
+            codec, shuffle, typesize, neblock,
+            leftover=neblock < blocksize,
+        ) if neblock else 1
+        per = neblock // nstreams if nstreams else 0
+        bstarts.append(body_base + len(body))
+        for s in range(nstreams):
+            stream = shuf[s * per:(s + 1) * per]
+            comp = _lz4_compress_naive(stream)
+            if len(comp) >= per:  # store verbatim, exactly like c-blosc
+                body += struct.pack("<i", per) + stream
+            else:
+                body += struct.pack("<i", len(comp)) + comp
 
     header = bytearray(16)
     header[0] = 2
     header[1] = 1
     header[2] = (codec << 5) | (0x1 if shuffle else 0)
     header[3] = typesize
-    bstart = 16 + 4  # header + one bstart entry
-    struct.pack_into("<III", header, 4, nbytes, blocksize, bstart + len(body))
-    return bytes(header) + struct.pack("<i", bstart) + bytes(body)
+    struct.pack_into("<III", header, 4, nbytes, blocksize,
+                     body_base + len(body))
+    return (bytes(header)
+            + struct.pack(f"<{nblocks}i", *bstarts)
+            + bytes(body))

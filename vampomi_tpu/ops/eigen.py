@@ -80,6 +80,13 @@ from .operator import DesignMatrix, atx, ax
 from .spectral import GramFactor, _trace_closed_forms
 
 
+class EigenBuildTimeout(RuntimeError):
+    """Raised by build_eigen when a caller-supplied wall-clock deadline
+    expires mid-build.  The build is abandoned cleanly between device
+    steps; callers fall back to the per-iteration factor path (the bench
+    and the engine both treat this as 'use spectral')."""
+
+
 class EigenFactor(NamedTuple):
     """The reusable eigen-LMMSE state.
 
@@ -276,7 +283,14 @@ def _ns_coeffs(ell: float) -> tuple[float, float, float]:
     return a, b, min(ell_new, 1.0)
 
 
-def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None):
+def _check_deadline(deadline):
+    if deadline is not None and time.time() > deadline:
+        raise EigenBuildTimeout(
+            f"eigen build exceeded its wall-clock deadline "
+            f"({time.strftime('%H:%M:%S')})")
+
+
+def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None, deadline=None):
     """sign((diag(dvec + ...) - Kb)/alpha) by the scaled NS cubic, where
     dvec = sigma - padvec folds the split point and the pad shift into one
     diagonal (see build_eigen).  Returns the UNSYMMETRIZED iterate; the
@@ -300,6 +314,7 @@ def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None):
         it += 1
     # polish with plain NS until diag(X^2) ~ 1 (one scalar fetch per step)
     while it < max_iter:
+        _check_deadline(deadline)
         X, errd = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
         it += 1
         if float(errd) < tol:
@@ -502,6 +517,7 @@ def build_eigen(
     leaf: int = 2048,
     max_depth: int = 60,
     verbose: bool = False,
+    deadline: float | None = None,
 ) -> tuple[EigenFactor, dict]:
     """Diagonalize K = fac.K.  Returns (EigenFactor, diagnostics) with
     diagnostics = {"resid": Rayleigh residual, "ortho": max |U^T U - I|,
@@ -568,6 +584,7 @@ def build_eigen(
     # split point after a one-sided retry (bisection).
     stack = [(K, None, lo0, hi0, 0, 0, None)]
     while stack:
+        _check_deadline(deadline)
         Kb, Ub, lo, hi, npad, depth, sigma0 = stack.pop()
         r = Kb.shape[0]
         r_real = r - npad
@@ -622,7 +639,7 @@ def build_eigen(
             ell0 = max(1e-7,
                        min(1e-2, (hi - lo) / (2.0 * alpha * max(r_real, 2))))
             dvec = jnp.asarray(sigma - padvec, dtype=wd)
-            X = _matrix_sign(Kb, dvec, alpha, ell0)
+            X = _matrix_sign(Kb, dvec, alpha, ell0, deadline=deadline)
             stats["splits"] += 1
             # P1: projector onto real eigs < sigma; P2: real eigs > sigma,
             # pads masked off exactly
@@ -718,6 +735,7 @@ def build_eigen_cached(
     seed: int = 0,
     leaf: int = 2048,
     verbose: bool = False,
+    deadline: float | None = None,
 ) -> tuple[EigenFactor, dict]:
     """build_eigen with a persistent on-disk factor: the eigenbasis is a
     pure function of the DATASET (K), so a production rerun, a resumed job,
@@ -801,7 +819,8 @@ def build_eigen_cached(
         print(f"eigen cache {cache_path}: stale or unreadable — rebuilding",
               file=sys.stderr, flush=True)
 
-    ef, diag = build_eigen(fac, seed=seed, leaf=leaf, verbose=verbose)
+    ef, diag = build_eigen(fac, seed=seed, leaf=leaf, verbose=verbose,
+                           deadline=deadline)
 
     # fetch_global is COLLECTIVE (multi-process factors are mesh-sharded and
     # need an allgather) — every process must call it, then only the writer

@@ -135,8 +135,11 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     """
     if dm.X.dtype == PACKED4_DTYPE:
         # K=1 case of the batch path, so the single-vector direction rides
-        # the same Pallas kernel gate (the unpack-einsum fallback would
-        # materialize the bf16 halves at full M on a TPU)
+        # the same Pallas kernel gate.  Off the gate (multi-device meshes,
+        # non-tiling shapes) the unpack-einsum fallback materializes both
+        # bf16 code halves at the shard's full M — 4x the packed bytes —
+        # so int4 near the per-chip capacity ceiling should stay on the
+        # eigen/spectral solvers, which only stream ax/atx (kernel-gated).
         return ax_batch(dm, x[:, None])[:, 0]
     w = dm.msig * x.astype(dm.wd)
     Xo, wo = _mxu_operands(dm, w)
@@ -214,19 +217,30 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
 def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
     """A^T @ ys for ys (N, K) → (M_pad, K).
 
-    Packed-int4 note: this direction has no Pallas kernel (the engine's
-    hot eigen path never calls it); its unpack-einsum route materializes
-    the bf16 code halves, so int4 + the multi-RHS CG solver trades HBM
-    for compatibility — use int8 when CG at full M is required."""
+    Packed-int4: single-TPU-device shapes route through the Pallas batch
+    kernel (ops/pallas_matvec.py atx_batch_packed4_raw), which streams X
+    tile-by-tile — CG normal equations, probit LMMSE and the Onsager probe
+    run on int4 in one half-byte pass with no full-M bf16 transient.  The
+    unpack-einsum fallback (multi-device meshes, non-tiling shapes, K > 8)
+    materializes both bf16 code halves at the SHARD's full M — 4x the
+    packed bytes — so mesh + int4 + CG near the per-chip capacity ceiling
+    can OOM where the eigen/spectral path (which never calls this) fits;
+    see `ax`/`atx` for the same caveat on the K=1 fallbacks."""
     yc = ys.astype(dm.wd)
     if dm.X.dtype == PACKED4_DTYPE:
-        n2 = dm.X.shape[1]
-        lo, hi = unpack_nibbles(dm.X)
-        yb = yc.astype(jnp.bfloat16)
-        xy = (
-            jnp.einsum("mn,nk->mk", lo, yb[:n2], preferred_element_type=jnp.float32)
-            + jnp.einsum("mn,nk->mk", hi, yb[n2:], preferred_element_type=jnp.float32)
-        )
+        tmk = pallas_matvec.atx_batch_packed4_applicable(dm, ys.shape[1])
+        if tmk is not None:
+            xy = pallas_matvec.atx_batch_packed4_raw(dm.X, yc, tmk)
+        else:
+            n2 = dm.X.shape[1]
+            lo, hi = unpack_nibbles(dm.X)
+            yb = yc.astype(jnp.bfloat16)
+            xy = (
+                jnp.einsum("mn,nk->mk", lo, yb[:n2],
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("mn,nk->mk", hi, yb[n2:],
+                             preferred_element_type=jnp.float32)
+            )
     else:
         Xo, yo = _mxu_operands(dm, yc)
         xy = jnp.einsum(
@@ -444,15 +458,19 @@ def build_design(
 
     mave_host = np.zeros((M_pad,), dtype=np.float64)
     msig_host = np.zeros((M_pad,), dtype=np.float64)
-    if stats is not None:
-        mave_host[:Mt_true] = stats[0][:Mt_true]
-        msig_host[:Mt_true] = stats[1][:Mt_true]
-    elif quant:
+    if quant:
         # statistics of the dequantized values: the stored matrix is then
-        # standardized EXACTLY (zero-mean, unit sd^alpha rows)
+        # standardized EXACTLY (zero-mean, unit sd^alpha rows).  Caller-
+        # supplied `stats` are deliberately IGNORED here: they describe the
+        # raw f64 data, and folding them would leave the code matrix with a
+        # quantization-sized mean/sd bias (round-3 advisor finding) — the
+        # guarantee is standardization against the matrix actually solved.
         mave_host[:Mt_true], msig_host[:Mt_true] = dequantized_stats(
             codes, qs, qz, alpha_scale
         )
+    elif stats is not None:
+        mave_host[:Mt_true] = stats[0][:Mt_true]
+        msig_host[:Mt_true] = stats[1][:Mt_true]
     else:
         mave_host[:Mt_true], msig_host[:Mt_true] = _host_stats(X_raw, alpha_scale)
     if quant:
@@ -502,10 +520,9 @@ def build_design_multihost(
             quantize_markers4(local_rows) if packed4
             else quantize_markers(local_rows)
         )
-        if stats is not None:
-            mave_l, msig_l = stats
-        else:
-            mave_l, msig_l = dequantized_stats(Xq, qs, qz, alpha_scale)
+        # ignore caller-supplied raw-data stats for quantized designs —
+        # same reasoning as build_design: standardize against the codes
+        mave_l, msig_l = dequantized_stats(Xq, qs, qz, alpha_scale)
         mave_l = (np.asarray(mave_l, dtype=np.float64) - qz) / qs
         msig_l = np.asarray(msig_l, dtype=np.float64) * qs
         if quant_out is not None:

@@ -159,6 +159,55 @@ def ax_batch_packed4_raw(Xp: jax.Array, w: jax.Array, tmk: tuple[int, int],
     return jnp.concatenate([lo, hi], axis=1).T  # (N, K)
 
 
+def _atx_batch_packed4_kernel(ylo_ref, yhi_ref, x_ref, o_ref, *, mul_dtype):
+    # reduce direction with K right-hand sides: unpack two 4-bit codes per
+    # byte on the VPU (exact in bf16), contract (TM, N/2) x (N/2, K) on the
+    # MXU with f32 accumulation.  X streams through VMEM tile-by-tile — the
+    # bf16 halves NEVER materialize at full M (the einsum fallback's 2x-
+    # bf16-X HBM cliff, round-3 review ask #8).
+    p = x_ref[:].astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(mul_dtype)
+    hi = ((p >> 4) - 8).astype(mul_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    o_ref[:] = (
+        jax.lax.dot_general(lo, ylo_ref[:].astype(mul_dtype), dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(hi, yhi_ref[:].astype(mul_dtype), dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tmk", "interpret"))
+def atx_batch_packed4_raw(Xp: jax.Array, ys: jax.Array, tmk: tuple[int, int],
+                          interpret: bool = False) -> jax.Array:
+    """(M, N/2) packed bytes × (N, K) f32 → (M, K) f32.
+
+    The multi-RHS A^T direction (CG normal equations, probit LMMSE, the
+    Onsager probe pair) on packed int4 without unpacking X in HBM: one
+    half-byte-per-element pass.  Sample index j < N/2 is the byte's low
+    nibble, j + N/2 the high nibble (ops/operator.py pack_nibbles_host)."""
+    tm, k = tmk
+    m, n2 = Xp.shape
+    # bf16 code multiplies on the MXU (4-bit codes exact); interpret mode
+    # (CPU tests) lacks bf16 dots, so it multiplies in f32
+    mul = jnp.float32 if interpret else jnp.bfloat16
+    yf = ys.astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_atx_batch_packed4_kernel, mul_dtype=mul),
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((n2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+        interpret=interpret,
+    )(yf[:n2], yf[n2:], Xp)
+    return out
+
+
 def pick_tile(m: int, n: int) -> int | None:
     """Largest tile (<= _TM rows, VMEM-safe) dividing m, or None if the
     shape doesn't tile (fallback to the einsum)."""
@@ -200,3 +249,10 @@ def ax_batch_packed4_applicable(dm, k: int) -> tuple[int, int] | None:
         return None
     tm = pick_tile(*dm.X.shape)
     return (tm, k) if tm is not None else None
+
+
+def atx_batch_packed4_applicable(dm, k: int) -> tuple[int, int] | None:
+    """(tile, K) when the packed-int4 Pallas reduce-direction batch kernel
+    applies — the same static gate as the broadcast kernel (the two (N/2, K)
+    y-halves and the (tile, K) output block are small next to the X tile)."""
+    return ax_batch_packed4_applicable(dm, k)
