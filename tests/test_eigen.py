@@ -5,6 +5,8 @@ The CPU oracle path runs the identical sign-D&C algorithm in f64 and is
 locked against numpy's eigh; the f32 case bounds the working-precision
 error the TPU path will see."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -370,3 +372,91 @@ def test_auto_solver_upgrades_to_eigen_on_mesh(tmp_path):
     assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "spectral"
     np.savez(cache, n=10_000)
     assert choose_lmmse_solver(cfg_c, mt=1_000_000, n=10_000, n_devices=1) == "eigen"
+
+
+def test_precompile_plan_covers_build(tmp_path):
+    """The AOT precompile lattice (ops/eigen_precompile.py) must hit the
+    SAME persistent-compilation-cache keys the build's own jit calls
+    produce — i.e. running the plan first makes every eigen-kernel compile
+    in a later build a cache LOAD.  Run in subprocesses against ONE shared
+    cache dir (the key hashes the configured cache dir itself, so
+    cross-dir comparisons are meaningless): any OUR-kernel cache file the
+    build pass newly creates is a key mismatch = a wasted cold compile."""
+    import glob
+    import subprocess
+    import sys
+
+    from vampomi_tpu.ops import eigen as eig
+
+    kernel_names = {
+        name for name, fn in vars(eig).items()
+        if callable(fn) and hasattr(fn, "_cache_size")
+    }
+
+    def ours(files):
+        return {
+            f for f in files
+            if any(f"jit_{k}-" in f for k in kernel_names)
+        }
+
+    prog = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from vampomi_tpu.ops.eigen import build_eigen
+from vampomi_tpu.ops.eigen_precompile import eigen_compile_plan
+from vampomi_tpu.ops.spectral import GramFactor
+# AFTER the package import: vampomi_tpu/__init__.py re-raises the floor to 1s
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+n, leaf = 384, 64
+if sys.argv[1] == "plan":
+    for _, _label, thunk in eigen_compile_plan(n, wd=jnp.float32, leaf=leaf):
+        thunk()
+else:
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(n, 1536)) / np.sqrt(1536)
+    K = jnp.asarray(A @ A.T, dtype=jnp.float32)
+    _, diag = build_eigen(GramFactor(K=K), leaf=leaf)
+    assert diag["splits"] >= 4, diag
+"""
+    cache = tmp_path / "shared_cache"
+    cache.mkdir()
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        VAMPOMI_COMPILE_CACHE=str(cache),
+        VAMPOMI_EIGEN_PRECOMPILE="0",  # the build pass must compile alone
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snapshots = {}
+    for mode in ("plan", "build"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog, mode], env=env,
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+        assert r.returncode == 0, (mode, r.stderr[-2000:])
+        snapshots[mode] = {
+            os.path.basename(f) for f in glob.glob(str(cache) + "/*")
+        }
+
+    plan_ours = ours(snapshots["plan"])
+    assert len(plan_ours) > 20  # the lattice actually compiled
+    new_in_build = ours(snapshots["build"] - snapshots["plan"])
+    assert not new_in_build, (
+        f"build compiled kernels outside the precompile plan: {new_in_build}"
+    )
+
+
+def test_precompile_background_handle():
+    from vampomi_tpu.ops.eigen_precompile import (
+        lattice_widths, start_background_precompile,
+    )
+
+    h = start_background_precompile(384, wd=jnp.float32, leaf=64, workers=2)
+    h.wait(timeout=120)
+    h.cancel()
+    assert h.compiled > 0 and h.failed == 0
+
+    # the quantized lattice stays small at the north-star N
+    assert len(lattice_widths(10240)) == 5

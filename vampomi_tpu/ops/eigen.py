@@ -67,6 +67,7 @@ an amortized dense build instead of a per-iteration one.
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
 import time
@@ -119,6 +120,51 @@ class EigenFactor(NamedTuple):
 
 def _hp():
     return jax.default_matmul_precision("highest")
+
+
+def _i32(i) -> jax.Array:
+    """Strong-typed int32 index scalar: weak-typed jnp.asarray(int) avals
+    cannot be reproduced by jax.ShapeDtypeStruct, and the AOT precompiler
+    (ops/eigen_precompile.py) must hit the SAME compile-cache keys as the
+    build's own calls."""
+    return jnp.asarray(i, jnp.int32)
+
+
+def _quant(r: int) -> int:
+    """Width quantum for basis buffers at parent block size r.  2048 above
+    2048 (was 1024 in round 3): halving the number of distinct block widths
+    quadratically shrinks the (r, kq) compile-shape lattice — the dominant
+    cold-build cost on the remote-compile platform — at the price of more
+    zero padding, which is MXU time (~2 s total) and therefore free."""
+    if r >= 2048:
+        return 2048
+    return 1024 if r >= 1024 else 64
+
+
+# Upad column slack past n: a final leaf can overhang by up to
+# quant - 1 + slab slack (< _quant + 1416), so 4096 covers quant = 2048.
+U_TAIL = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def _gauss_jit(key, shape, dtype):
+    """jitted standard-normal block: the eager jax.random.normal path
+    compiles through internal jits the precompiler cannot address by
+    name; this wrapper gives every random block one named, AOT-lowerable
+    compile-cache entry per (shape, dtype)."""
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def _zeros_jit(shape, dtype):
+    return jnp.zeros(shape, dtype=dtype)
+
+
+@jax.jit
+def _reorder_jit(Upad, order):
+    """Final (n, n + U_TAIL) -> (n, n) gather: reorder by eigenvalue and
+    drop the buffer tail in one fixed-shape dispatch."""
+    return jnp.take(Upad, order, axis=1)
 
 
 @jax.jit
@@ -225,7 +271,7 @@ def _mix_jit(Y, T):
 
 @jax.jit
 def _slab_write(Qacc, Qc, off):
-    return jax.lax.dynamic_update_slice(Qacc, Qc, (0, off))
+    return jax.lax.dynamic_update_slice(Qacc, Qc, (jnp.int32(0), off))
 
 
 @jax.jit
@@ -243,10 +289,10 @@ def _leaf_write(Uacc, cols, off, nreal):
     fresh multi-second remote compile for every distinct leaf width (and a
     persistent-cache MISS across datasets, since leaf widths depend on the
     spectrum)."""
-    cur = jax.lax.dynamic_slice(Uacc, (0, off), cols.shape)
+    cur = jax.lax.dynamic_slice(Uacc, (jnp.int32(0), off), cols.shape)
     keep = jnp.arange(cols.shape[1]) < nreal
     merged = jnp.where(keep[None, :], cols, cur)
-    return jax.lax.dynamic_update_slice(Uacc, merged, (0, off))
+    return jax.lax.dynamic_update_slice(Uacc, merged, (jnp.int32(0), off))
 
 
 @jax.jit
@@ -384,7 +430,7 @@ def _subspace_chunk(P, Qacc, G, off):
         Y2 = P @ Y
         Y2 = Y2 - Qacc @ (Qacc.T @ Y2)
         Q = _cholqr2(Y2)
-    return jax.lax.dynamic_update_slice(Qacc, Q, (0, off))
+    return jax.lax.dynamic_update_slice(Qacc, Q, (jnp.int32(0), off))
 
 
 _CHUNK = 448  # device-CholQR chunk width (host finishes the last <=512)
@@ -409,7 +455,7 @@ def _orth_range(P, k, key):
     the child block arrive pre-padded (kq - k zero rows/cols)."""
     r = P.shape[0]
     cw = min(2 * 512 - 56, r)  # fixed sample/slab width for this r
-    quant = 1024 if r >= 1024 else 64
+    quant = _quant(r)
     # minimal buffer width: the final cw-wide slab is written at the exact
     # offset the chunk loop reaches (_CHUNK * n_chunks), so kq stays within
     # one quant step of k even for degenerate splits (k ~ r), instead of
@@ -420,14 +466,14 @@ def _orth_range(P, k, key):
         n_chunks = -(-(k - (2 * 512 - 64)) // _CHUNK)
         need = _CHUNK * n_chunks + cw
     kq = ((need + quant - 1) // quant) * quant
-    Qacc = jnp.zeros((r, kq), dtype=P.dtype)
+    Qacc = _zeros_jit(shape=(r, kq), dtype=P.dtype)
     done = 0
     while done < k:
         rest = k - done
         if rest <= 2 * 512 - 64:
             # final slab, host-side rank-safe orthonormalization; every
             # device op has the fixed shape (r, cw)
-            G = jax.random.normal(key, (r, cw), dtype=P.dtype)
+            G = _gauss_jit(key, shape=(r, cw), dtype=P.dtype)
             key, = jax.random.split(key, 1)
             Y = _project_slab(P, Qacc, G)
             Qc = _orth_small_fixed(Y, rest, passes=2)
@@ -435,16 +481,21 @@ def _orth_range(P, k, key):
             # (Qc's zero tail columns pass through the projection as zeros)
             Y2 = _project_slab(P, Qacc, Qc)
             Qc = _orth_small_fixed(Y2, rest, passes=1, valid=rest)
-            Qacc = _slab_write(Qacc, Qc, jnp.asarray(done))
+            Qacc = _slab_write(Qacc, Qc, _i32(done))
             done = k
         else:
             # full-width device slab: ALWAYS _CHUNK columns (fixed shapes),
             # one fused dispatch
-            G = jax.random.normal(key, (r, _CHUNK), dtype=P.dtype)
+            G = _gauss_jit(key, shape=(r, _CHUNK), dtype=P.dtype)
             key, = jax.random.split(key, 1)
-            Qacc = _subspace_chunk(P, Qacc, G, jnp.asarray(done))
+            Qacc = _subspace_chunk(P, Qacc, G, _i32(done))
             done += _CHUNK
     return Qacc, kq
+
+
+@jax.jit
+def _slq_norm(V):
+    return V / jnp.linalg.norm(V, axis=0)
 
 
 @jax.jit
@@ -473,18 +524,20 @@ def _slq_bounds(K, probes=8, steps=64, seed=0):
     wd = K.dtype
     steps = min(steps, n)
     key = jax.random.PRNGKey(seed)
-    V = jax.random.normal(key, (n, probes), dtype=wd)
-    V = V / jnp.linalg.norm(V, axis=0)
-    Vp = jnp.zeros_like(V)
-    beta = jnp.zeros((probes,), dtype=wd)
+    V = _gauss_jit(key, shape=(n, probes), dtype=wd)
+    V = _slq_norm(V)
+    Vp = _zeros_jit(shape=(n, probes), dtype=wd)
+    beta = _zeros_jit(shape=(probes,), dtype=wd)
     alphas, betas = [], []
     for _ in range(steps):
         Vn, alph, beta_n = _lanczos_step(K, V, Vp, beta)
         alphas.append(alph)
         betas.append(beta_n)
         Vp, V, beta = V, Vn, beta_n
-    A = np.asarray(jax.device_get(jnp.stack(alphas)), dtype=np.float64)
-    B = np.asarray(jax.device_get(jnp.stack(betas)), dtype=np.float64)
+    # device_get on the LISTS fetches every step in one call with no
+    # 64-operand stack compile (jnp.stack here was its own remote compile)
+    A = np.asarray(np.stack(jax.device_get(alphas)), dtype=np.float64)
+    B = np.asarray(np.stack(jax.device_get(betas)), dtype=np.float64)
 
     import scipy.linalg as sla
 
@@ -554,6 +607,32 @@ def build_eigen(
                   file=sys.stderr, flush=True)
 
     t_start = time.time()
+    # speculative parallel AOT compile of the whole kernel/shape lattice,
+    # overlapped with the build (ops/eigen_precompile.py): a cold remote-
+    # compile platform serializing ~40-90 compiles behind the recursion
+    # was the dominant cold-build cost (round-3 review, Weak #3)
+    from .eigen_precompile import precompile_wanted, start_background_precompile
+
+    pre = None
+    if precompile_wanted(n):
+        pre = start_background_precompile(
+            n, wd=wd, leaf=leaf, deadline=deadline, verbose=verbose)
+        vlog(f"precompile pool launched ({len(pre._futures)} lattice entries)")
+    try:
+        return _build_eigen_inner(
+            fac, seed, leaf, max_depth, verbose, deadline, vlog, t_start)
+    finally:
+        if pre is not None:
+            pre.cancel()
+            vlog(f"precompile pool done: {pre.compiled} compiled, "
+                 f"{pre.failed} failed")
+
+
+def _build_eigen_inner(fac, seed, leaf, max_depth, verbose, deadline, vlog,
+                       t_start):
+    K = fac.K
+    n = fac.n
+    wd = K.dtype
     lo_r, hi_r = _slq_bounds(K, seed=seed)
     vlog(f"slq bounds done [{lo_r:.4g}, {hi_r:.4g}]")
     span = hi_r - lo_r if hi_r > lo_r else max(abs(hi_r), 1.0)
@@ -563,10 +642,10 @@ def build_eigen(
     key = jax.random.PRNGKey(seed + 1)
     # eigenvector accumulation buffer: leaves masked-write their real
     # columns at a running offset (_leaf_write), so no per-leaf-width slice
-    # or final variable-width concatenate ever compiles.  The +2048 tail
+    # or final variable-width concatenate ever compiles.  The +U_TAIL tail
     # absorbs the largest possible pad overhang of a final leaf write
-    # (quant - 1 + slab slack < 1500) without dynamic_update_slice clamping.
-    Upad = jnp.zeros((n, n + 2048), dtype=wd)
+    # (quant - 1 + slab slack < 3464) without dynamic_update_slice clamping.
+    Upad = _zeros_jit(shape=(n, n + U_TAIL), dtype=wd)
     u_off = 0
     out_lams: list[np.ndarray] = []
     stats = {"splits": 0, "leaves": 0}
@@ -601,8 +680,7 @@ def build_eigen(
                 cols = jnp.asarray(Vp, dtype=wd)
             else:
                 cols = _leaf_mix(Ub, jnp.asarray(Vp, dtype=wd))
-            Upad = _leaf_write(Upad, cols, jnp.asarray(u_off),
-                               jnp.asarray(r_real))
+            Upad = _leaf_write(Upad, cols, _i32(u_off), _i32(r_real))
             u_off += r_real
             out_lams.append(lam)
             stats["leaves"] += 1
@@ -694,9 +772,7 @@ def build_eigen(
             f"(rank extraction failed at some split)"
         )
     order = np.argsort(lam_cat, kind="stable")
-    # one (n, n+2048) -> (n, n) gather: reorder by eigenvalue and drop the
-    # buffer tail in a single fixed-shape dispatch
-    U = jnp.take(Upad, jnp.asarray(order), axis=1)
+    U = _reorder_jit(Upad, jnp.asarray(order, dtype=np.int32))
 
     # Rayleigh refinement + residual diagnostics (one fused N^3 dispatch)
     lam_r, resid, orthod = _rayleigh_jit(K, U)
