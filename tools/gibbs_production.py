@@ -10,7 +10,7 @@ verbatim, and seeds inference from the emitted .conf.  No ground truth
 enters inference at any stage; truth is used only to SCORE afterwards.
 
 Usage: python tools/gibbs_production.py [--small]
-Appends "gibbs_warmstart_r03" to PRODUCTION_RUN.json.
+Appends "gibbs_warmstart_r04" to PRODUCTION_RUN.json.
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ def main():
     out = {"shape": dict(M=m, N=n, dtype="int8", solver="eigen",
                          gibbs_sweeps=sweeps)}
     fx = simulate_iid(n=n, m=m, lam=lam_true, h2=h2_true, seed=seed)
-    workdir = tempfile.mkdtemp(prefix="prod_gibbs_r03_")
+    workdir = tempfile.mkdtemp(prefix="prod_gibbs_r04_")
     files = write_fixture(fx, workdir, "prodg")
 
     t0 = time.time()
@@ -152,7 +152,7 @@ def main():
             full = json.load(open(path))
         except Exception:
             full = {}
-        full["gibbs_warmstart_r03"] = out
+        full["gibbs_warmstart_r04"] = out
         with open(path, "w") as f:
             json.dump(full, f, indent=1)
         print(f"wrote {path}")

@@ -1,0 +1,165 @@
+"""Probit (bin_class) at the LITERAL north-star shape: M >= 1e6 markers x
+N = 10240 samples, int8 design, eigen-LMMSE — on one chip (round-3 review
+ask #7; the r03 probit artifact stopped at M = 262144 bf16).
+
+Host-side simulation is impossible at this scale (an f64 X is 80 GB), so
+the design is generated ON DEVICE exactly like bench.py: uniform int8
+codes streamed through a scanned RNG, standardization folded into
+(mave, msig).  The liability truth is still exact — beta is host-side
+sparse, z = A x_internal is ONE streamed operator pass, labels are
+y = 1{z + N(0,1) > 0} (the same construction as tools/probit_production.py
+and the round-2 artifact).  The prior is TRUTH-FREE: the probit
+marginal-moment estimate (atx(y - ybar), 1-D mixture EM, phi(0)^2
+attenuation), truth scores only.
+
+Iterations/s is measured as a two-run difference — a short and a long run
+from identical state with a shared --eigen-cache factor — so compile time
+and the once-per-dataset build cancel exactly:
+
+    it/s = (iters_long - iters_short) / (wall_long - wall_short)
+
+Usage: python tools/probit_northstar.py [--small]
+Appends "probit_r04" to PRODUCTION_RUN.json (reference parity:
+src/vamp_probit.cpp:19-467 GLM-VAMP loop; src/options.hpp defaults).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import bench  # noqa: E402  (device-side X generation, shape picking)
+
+bench._child_imports()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tools.production_run import fit_marginal_mixture, write_conf  # noqa: E402
+from vampomi_tpu.cli import load_init_conf  # noqa: E402
+from vampomi_tpu.config import RunConfig  # noqa: E402
+from vampomi_tpu.engine.probit import infere_bin_class  # noqa: E402
+from vampomi_tpu.ops.operator import atx, ax  # noqa: E402
+
+PHI0 = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def main():
+    small = "--small" in sys.argv
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+        m, n = 16384, 512
+        iters_a, iters_b = 3, 6
+    else:
+        m, n = bench.pick_shape(jnp.int8)  # M >= 1e6, N = 10240 on 16 GB
+        iters_a, iters_b = 4, 14
+    lam_true, h2_true = 0.002, 0.8
+    seed = 31
+
+    out = {"shape": dict(M=m, N=n, dtype="int8", solver="eigen",
+                         model="bin_class")}
+    print(f"shape: M={m}, N={n}", flush=True)
+
+    # ---- device-side design + exact liability truth ----
+    t0 = time.time()
+    dm, _y_unused, _r1, _prior = bench.make_problem(m, n, jnp.int8)
+    bench.sync(dm.X)
+    rng = np.random.default_rng(seed)
+    beta = np.zeros(m)
+    causal = rng.random(m) < lam_true
+    beta[causal] = rng.normal(0.0, np.sqrt(h2_true / (lam_true * m)),
+                              causal.sum())
+    x_int = jnp.asarray(beta * np.sqrt(float(n)), dtype=dm.wd)
+    z_lia = np.asarray(jax.device_get(jax.jit(ax)(dm, x_int)),
+                       dtype=np.float64)
+    y_bin = (z_lia + rng.normal(size=n) > 0).astype(np.float64)
+    out["gen_seconds"] = round(time.time() - t0, 1)
+    out["case_fraction"] = float(y_bin.mean())
+    print(f"generated: case fraction {y_bin.mean():.3f} "
+          f"({out['gen_seconds']}s)", flush=True)
+
+    # ---- truth-free probit marginal prior (as tools/probit_production) ----
+    t0 = time.time()
+    yc = jnp.asarray(y_bin - y_bin.mean(), dtype=dm.wd)
+    bhat = np.asarray(jax.device_get(jax.jit(atx)(dm, yc)),
+                      dtype=np.float64)[:m]
+    lam_hat, _v0, v1_hat = fit_marginal_mixture(bhat)
+    var_file = v1_hat / (PHI0 * PHI0) / n
+    h2_hat = min(lam_hat * m * var_file, 0.95)
+    workdir = tempfile.mkdtemp(prefix="probit_northstar_")
+    conf_path = os.path.join(workdir, "ns.conf")
+    write_conf(conf_path, lam_hat, var_file, h2_hat, rho=0.5)
+    conf = load_init_conf(conf_path)
+    out["prior_estimate"] = dict(
+        lam_hat=lam_hat, h2_hat=h2_hat, seconds=round(time.time() - t0, 1),
+        truth_for_reference=dict(lam=lam_true, h2=h2_true),
+    )
+    print(f"marginal prior: lam={lam_hat:.4g} h2={h2_hat:.3f}", flush=True)
+
+    common = dict(
+        out_dir=workdir, out_name="ns", meth_file="synthetic",
+        model="bin_class", probs=conf["probs"], vars=conf["vars"],
+        h2=conf["h2"], rho=conf["rho"], gam1=1e-6, stop_criteria_thr=0.0,
+        seed=11, trace=0, lmmse_solver="eigen",
+        eigen_cache=os.path.join(workdir, "ns_eigen.npz"),
+        CG_max_iter=500, CG_err_tol=1e-5,
+    )
+
+    runs = {}
+    for tag, iters in (("short", iters_a), ("long", iters_b)):
+        cfg = RunConfig(iterations=iters, learn_prior_delay=iters + 1,
+                        **common)
+        t0 = time.time()
+        res = infere_bin_class(dm, y_bin, cfg, true_signal=beta,
+                               write_outputs=False)
+        wall = time.time() - t0
+        mrow = [float(v) for v in res.metrics_history[-1]]
+        corr = float(np.corrcoef(res.x1_hat_scaled, beta)[0, 1])
+        runs[tag] = dict(iterations=res.iterations_run,
+                         wall_seconds=round(wall, 2),
+                         accuracy_denoising=mrow[4],
+                         accuracy_lmmse=mrow[10], corr_vs_truth=corr)
+        print(f"{tag}: {res.iterations_run} its in {wall:.1f}s "
+              f"acc={mrow[4]:.4f} corr={corr:.4f}", flush=True)
+
+    dit = runs["long"]["iterations"] - runs["short"]["iterations"]
+    dwall = runs["long"]["wall_seconds"] - runs["short"]["wall_seconds"]
+    out["runs"] = runs
+    out["iterations_per_s"] = round(dit / dwall, 3) if dwall > 0 else None
+    out["accuracy"] = runs["long"]["accuracy_denoising"]
+    out["corr_vs_truth"] = runs["long"]["corr_vs_truth"]
+    out["note"] = (
+        "GLM-VAMP probit at the literal north-star shape on one chip: "
+        "int8 design (device-generated codes, exact standardization "
+        "folding), once-per-dataset eigen diagonalization shared via "
+        "--eigen-cache, truth-free marginal-moment prior fixed.  it/s is "
+        "the long-minus-short run difference (compile + build cancel)."
+    )
+    print(json.dumps({k: out[k] for k in
+                      ("iterations_per_s", "accuracy", "corr_vs_truth")},
+                     indent=1), flush=True)
+
+    if small:
+        print(json.dumps(out, indent=1))
+    else:
+        path = os.path.join(_ROOT, "PRODUCTION_RUN.json")
+        try:
+            full = json.load(open(path))
+        except Exception:
+            full = {}
+        full["probit_r04"] = out
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
