@@ -106,11 +106,25 @@ class StageTracker:
             _write_state(path, self.st)
 
     def stage(self, name, max_s):
+        # test hook: cap budgets / hang deterministically so the suite can
+        # drive the supervisor's kill-and-retry path (the BENCH_r03 failure
+        # mode) in seconds.  Inert unless the env vars are set.
+        cap = os.environ.get("VAMPOMI_BENCH_TEST_STAGE_MAX")
+        if cap:
+            max_s = min(max_s, float(cap))
         log(f"[stage] {name} (budget {max_s:.0f}s, "
             f"t+{time.time() - T0:.0f}s)")
         self.st.update(stage=name, stage_start=time.time(), stage_max=max_s)
         if self.path:
             _write_state(self.path, self.st)
+        if name == os.environ.get("VAMPOMI_BENCH_TEST_HANG_STAGE"):
+            marker = os.environ.get("VAMPOMI_BENCH_TEST_HANG_ONCE")
+            if not (marker and os.path.exists(marker)):
+                if marker:
+                    open(marker, "w").close()
+                log(f"[test-hook] hanging in {name}")
+                while True:
+                    time.sleep(1)
 
     def record(self, result):
         self.st["result"] = result

@@ -40,3 +40,36 @@ def test_make_problem_shapes_and_scaling():
     col = np.asarray(dm.X[:, 0], dtype=np.float64) * float(dm.msig[0])
     assert 0.8 < col.std() < 1.2
     assert y.shape == (64,) and r1.shape == (16384,)
+
+
+def test_supervisor_kills_hung_child_and_retries(tmp_path):
+    """The cold-start contract's core promise (round-3 review: BENCH_r03
+    rc=124 was a child that hung mid-stage and took the whole bench with
+    it): a child wedged past its stage budget is killed, a fresh child is
+    retried, and the bench still prints its one JSON line with rc=0."""
+    import json
+    import subprocess
+
+    marker = tmp_path / "hang_once"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        VAMPOMI_BENCH_SHAPE="16384,256",
+        VAMPOMI_BENCH_BUDGET="600",
+        VAMPOMI_BENCH_NO_COMPANION="1",
+        VAMPOMI_BENCH_TEST_HANG_STAGE="int8:gram",
+        VAMPOMI_BENCH_TEST_HANG_ONCE=str(marker),
+        VAMPOMI_BENCH_TEST_STAGE_MAX="5",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=560, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["metric"] == "vamp_iter_per_s" and result["value"] > 0
+    assert "killing child" in r.stderr      # the hang was detected
+    assert "attempt 2" in r.stderr          # and a fresh child recovered
+    assert marker.exists()                  # the hook fired exactly once
