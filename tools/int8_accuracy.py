@@ -26,6 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from vampomi_tpu.config import RunConfig  # noqa: E402
@@ -57,6 +58,11 @@ def main():
     qname = "int8"
     pos = []
     i = 0
+    if "--cpu" in argv:
+        # the container sitecustomize pre-selects the axon platform; the
+        # env var alone does not undo that
+        argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
     while i < len(argv):
         a = argv[i]
         if a == "--dtype":
@@ -131,10 +137,17 @@ def main():
             "f32 run on the same chip"
         )
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        f"{qname.upper()}_ACCURACY.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    if (m, n) >= (65536, 4096):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"{qname.upper()}_ACCURACY.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    else:
+        # smoke shapes must not overwrite the committed evidence
+        path = f"/tmp/{qname}_accuracy_smoke.json"
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out["max_rel_diff"], indent=1))
     print(f"final corr: f32={out['float32']['final_corr']:.4f} "
           f"{qname}={out[qname]['final_corr']:.4f}")
