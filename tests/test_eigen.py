@@ -460,3 +460,32 @@ def test_precompile_background_handle():
 
     # the quantized lattice stays small at the north-star N
     assert len(lattice_widths(10240)) == 5
+
+
+def test_engine_eigen_build_budget_falls_back(small_fixture, capsys):
+    """--eigen-build-budget: an engine run whose eigen build overruns the
+    wall budget must complete on the spectral path with finite (and
+    identical-algorithm) results instead of hanging for the build."""
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.linear import infere_linear
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float64)
+    cfg = RunConfig(
+        out_dir="/tmp", out_name="budget_t", iterations=3, meth_file="x",
+        probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2], h2=0.8,
+        learn_prior_delay=99, stop_criteria_thr=0.0,
+        lmmse_solver="eigen", eigen_build_budget=1e-9, verbosity=1,
+    )
+    res = infere_linear(dm, fx.y, cfg, true_signal=fx.beta,
+                        write_outputs=False)
+    assert res.iterations_run == 3
+    assert np.all(np.isfinite(res.x1_hat_scaled))
+    assert "--eigen-build-budget" in capsys.readouterr().out
+
+    # the same run with the budget off runs eigen and matches the spectral
+    # trajectory (same exact algorithm, different dense representation)
+    res_e = infere_linear(dm, fx.y, cfg.replace(eigen_build_budget=0.0),
+                          true_signal=fx.beta, write_outputs=False)
+    np.testing.assert_allclose(res_e.x1_hat_scaled, res.x1_hat_scaled,
+                               atol=1e-8)

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persist the once-per-dataset eigenbasis to this "
                         ".npz and reload it on later runs over the same "
                         "dataset (skips the minutes-long build)")
+    x.add_argument("--eigen-build-budget", type=float, default=0.0,
+                   help="wall-clock seconds the eigen build may take "
+                        "(0 = unlimited); on overrun the run falls back "
+                        "to the per-iteration spectral factor")
     x.add_argument("--checkpoint-file", default="",
                    help="write an exact-state .npz after every iteration")
     x.add_argument("--resume-file", default="",

@@ -71,6 +71,9 @@ class RunConfig:
     spectral_max_n: int = 16384   # auto picks spectral only when N <= this
     eigen_cache: str = ""         # persist/reload the once-per-dataset
                                   # eigenbasis (.npz; ops/eigen.py)
+    eigen_build_budget: float = 0.0  # wall seconds the eigen build may take
+                                  # (0 = unlimited); on overrun the engine
+                                  # falls back to the spectral factor path
     compute_dtype: str = "auto"   # auto | float64 | float32 | bfloat16 | int8 | int4
     seed: int = 0                 # seeded probe RNG (fixes reference quirk Q4)
     checkpoint_file: str = ""     # write exact-state .npz after each iteration

@@ -509,6 +509,28 @@ def warn_em_stability(cfg: RunConfig, mt: int, n: int) -> bool:
     return risky
 
 
+def build_eigen_budgeted(fac, cfg, verbose):
+    """build_eigen(_cached) under cfg.eigen_build_budget wall seconds
+    (0 = unlimited).  Returns (EigenFactor, diag) or (None, None) on
+    overrun — callers fall back to the spectral factor path, exactly like
+    the residual-tolerance fallback (the run still completes, exactly,
+    just without the amortized dense term)."""
+    from ..ops.eigen import EigenBuildTimeout, build_eigen, build_eigen_cached
+
+    deadline = (time.time() + cfg.eigen_build_budget
+                if cfg.eigen_build_budget > 0 else None)
+    try:
+        if cfg.eigen_cache:
+            return build_eigen_cached(fac, cfg.eigen_cache, seed=cfg.seed,
+                                      deadline=deadline)
+        return build_eigen(fac, seed=cfg.seed, deadline=deadline)
+    except EigenBuildTimeout:
+        _log(verbose, f"eigen build exceeded --eigen-build-budget "
+                      f"{cfg.eigen_build_budget:.0f}s — falling back to the "
+                      f"per-iteration spectral factor path")
+        return None, None
+
+
 def _cache_plausible(path: str, n: int) -> bool:
     """Cheap pre-check that an eigen cache file is a readable npz for this
     N — enough to justify the single-chip auto upgrade (the full
@@ -652,22 +674,19 @@ def infere_linear(
                       f"(N={N}; exact solves + exact Onsager from here on)")
     if solver == "eigen":
         t_eig = time.time()
-        if cfg.eigen_cache:
-            from ..ops.eigen import build_eigen_cached
-
-            ef, eig_diag = build_eigen_cached(
-                fac, cfg.eigen_cache, seed=cfg.seed)
+        ef, eig_diag = build_eigen_budgeted(fac, cfg, verbose)
+        if ef is None:
+            solver = "spectral"
         else:
-            ef, eig_diag = build_eigen(fac, seed=cfg.seed)
-        _log(verbose, f"eigenbasis of K "
-                      f"{'loaded' if eig_diag.get('loaded') else 'built'} "
-                      f"in {time.time() - t_eig:.3f}s "
-                      f"(residual {eig_diag['resid']:.2e}, "
-                      f"{eig_diag['splits']} sign splits)")
-        if eig_diag["resid"] > 1e-3:
-            _log(verbose, "eigen residual above tolerance — falling back to the "
-                          "per-iteration factor path")
-            solver, ef = "spectral", None
+            _log(verbose, f"eigenbasis of K "
+                          f"{'loaded' if eig_diag.get('loaded') else 'built'} "
+                          f"in {time.time() - t_eig:.3f}s "
+                          f"(residual {eig_diag['resid']:.2e}, "
+                          f"{eig_diag['splits']} sign splits)")
+            if eig_diag["resid"] > 1e-3:
+                _log(verbose, "eigen residual above tolerance — falling back "
+                              "to the per-iteration factor path")
+                solver, ef = "spectral", None
 
     from ..utils.telemetry import Tracer
 

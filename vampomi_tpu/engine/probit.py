@@ -45,7 +45,7 @@ from ..ops.spectral import (
 from ..prior.mixture import MixturePrior, em_update, g1, g1d
 from .linear import (
     GAMMA_MIN, GAMMA_MAX, METRICS_HEADER, PARAMS_HEADER, _log,
-    choose_lmmse_solver, warn_em_stability,
+    build_eigen_budgeted, choose_lmmse_solver, warn_em_stability,
 )
 from .metrics import confusion_counts
 
@@ -334,24 +334,21 @@ def infere_bin_class(
         _log(verbose, f"spectral LMMSE factor built in {time.time() - t_fac:.3f}s "
                       f"(N={N}; exact solves + exact Onsager from here on)")
     if solver == "eigen":
-        from ..ops.eigen import build_eigen, build_eigen_cached
-
         t_eig = time.time()
-        if cfg.eigen_cache:
-            ef, eig_diag = build_eigen_cached(
-                fac, cfg.eigen_cache, seed=cfg.seed)
-        else:
-            ef, eig_diag = build_eigen(fac, seed=cfg.seed)
-        _log(verbose, f"eigenbasis of K "
-                      f"{'loaded' if eig_diag.get('loaded') else 'built'} "
-                      f"in {time.time() - t_eig:.3f}s "
-                      f"(residual {eig_diag['resid']:.2e})")
-        if eig_diag["resid"] > 1e-3:
-            _log(verbose, "eigen residual above tolerance — falling back to the "
-                          "per-iteration factor path")
+        ef, eig_diag = build_eigen_budgeted(fac, cfg, verbose)
+        if ef is None:
             solver = "spectral"
         else:
-            fac = ef  # _probit_phase's `fac` slot carries the EigenFactor
+            _log(verbose, f"eigenbasis of K "
+                          f"{'loaded' if eig_diag.get('loaded') else 'built'} "
+                          f"in {time.time() - t_eig:.3f}s "
+                          f"(residual {eig_diag['resid']:.2e})")
+            if eig_diag["resid"] > 1e-3:
+                _log(verbose, "eigen residual above tolerance — falling back "
+                              "to the per-iteration factor path")
+                solver = "spectral"
+            else:
+                fac = ef  # _probit_phase's `fac` slot carries the EigenFactor
 
     from ..utils.telemetry import Tracer
 
