@@ -558,12 +558,36 @@ def child_main(state_path):
 
 def supervise():
     """jax-free parent: run the child under stage-level liveness watching,
-    retry on hang/crash, print the best recorded result."""
+    retry on hang/crash, print the best recorded result.
+
+    SIGTERM/SIGINT (e.g. the DRIVER's own `timeout` firing before our
+    budget) prints the best result recorded so far and exits 0 — an
+    externally imposed deadline must degrade to the essentials-first
+    number, never to silence (BENCH_r03 rc=124 printed nothing)."""
+    import signal
+
     state_path = os.path.join(
         tempfile.gettempdir(), f"vampomi_bench_state_{os.getpid()}.json")
     deadline = T0 + BUDGET
     best = None
     attempt = 0
+
+    current = {"proc": None}
+
+    def _terminated(signum, frame):
+        st = _read_state(state_path) or {}
+        result = st.get("result") or best
+        log(f"supervisor: signal {signum} — emitting "
+            f"{'best recorded result' if result else 'nothing (no result yet)'}")
+        if current["proc"] is not None and current["proc"].poll() is None:
+            current["proc"].kill()  # don't orphan the measuring child
+        if result:
+            print(json.dumps(result), flush=True)
+            os._exit(0)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _terminated)
+    signal.signal(signal.SIGINT, _terminated)
     while attempt < 3:
         attempt += 1
         if deadline - time.time() < 60:
@@ -582,6 +606,7 @@ def supervise():
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, stdout=sys.stderr, stderr=sys.stderr)
+        current["proc"] = proc
         while True:
             rc = proc.poll()
             st = _read_state(state_path) or {}

@@ -73,3 +73,53 @@ def test_supervisor_kills_hung_child_and_retries(tmp_path):
     assert "killing child" in r.stderr      # the hang was detected
     assert "attempt 2" in r.stderr          # and a fresh child recovered
     assert marker.exists()                  # the hook fired exactly once
+
+
+def test_supervisor_sigterm_emits_best_result(tmp_path):
+    """An EXTERNAL deadline (the driver's own `timeout` firing before the
+    bench budget) must degrade to the essentials-first number, not to
+    silence: SIGTERM makes the supervisor print the best recorded result
+    and exit 0."""
+    import json
+    import signal
+    import subprocess
+    import tempfile
+    import time as _time
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        VAMPOMI_BENCH_SHAPE="16384,256",
+        VAMPOMI_BENCH_BUDGET="600",
+        VAMPOMI_BENCH_NO_COMPANION="1",
+        # force the eigen upgrade stage to start (est 1s fits any budget)
+        # and hang inside it, so the TERM deterministically arrives AFTER
+        # the essentials result exists but BEFORE the child finishes
+        VAMPOMI_BENCH_EIGEN_EST="1",
+        VAMPOMI_BENCH_TEST_HANG_STAGE="int8:eigen",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, cwd=repo,
+    )
+    state = os.path.join(tempfile.gettempdir(),
+                         f"vampomi_bench_state_{proc.pid}.json")
+    deadline = _time.time() + 300
+    result_seen = False
+    while _time.time() < deadline:
+        try:
+            with open(state) as f:
+                if (json.load(f) or {}).get("result"):
+                    result_seen = True
+                    break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    assert result_seen, "state file never recorded an essentials result"
+    proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=60)
+    assert proc.returncode == 0, err[-1000:]
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["metric"] == "vamp_iter_per_s" and result["value"] > 0
