@@ -304,6 +304,70 @@ def run_config(m, n, dtype, tracker, deadline, headline=True):
     damp = jnp.asarray(False)
     ts = jnp.zeros(m, dtype=wd)
     x1_prev = jnp.zeros(m, dtype=wd)
+    # CG-stage inputs constructed HERE so the compile-ahead pool lowers
+    # with the IDENTICAL avals the measurement below dispatches with
+    key = jax.random.PRNGKey(1)
+    bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
+    cg_max = jnp.asarray(500)   # reference defaults, src/options.hpp:83-84
+    cg_tol = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-3)
+    mu0 = jnp.zeros(m, dtype=wd)
+
+    @jax.jit
+    def dense_piece_sp(fv, t, g):
+        winv = shift_inverse(fv, t, g, nb=default_nb(n))
+        return winv.W
+
+    # ---- compile-ahead: the essentials path otherwise SERIALIZES its big
+    # phase compiles (spectral dense piece -> spectral iteration -> CG
+    # iteration; each 20-120 s cold on the remote-compile platform).  AOT-
+    # lower them on background threads NOW — same function objects, same
+    # avals (ShapeDtypeStructs for the two not-yet-computed arrays), so
+    # they land in the persistent-cache keys the measurements look up.
+    # Failures are harmless: the main thread just compiles as before. ----
+    ca_pool = None
+    if os.environ.get("VAMPOMI_BENCH_NO_COMPILE_AHEAD") != "1":
+        import concurrent.futures as _fut
+
+        from vampomi_tpu.ops.eigen import EigenFactor
+
+        from vampomi_tpu.ops.spectral import GramFactor
+
+        fac_s = GramFactor(K=jax.ShapeDtypeStruct((n, n), wd))
+        aty_s = jax.ShapeDtypeStruct((m,), wd)
+        ef_s = EigenFactor(U=jax.ShapeDtypeStruct((n, n), wd),
+                           lam=jax.ShapeDtypeStruct((n,), jnp.float64))
+
+        def _lower(label, fn, *args):
+            def run():
+                t0 = time.perf_counter()
+                try:
+                    fn.lower(*args).compile()
+                    log(f"[compile-ahead] {label} ready "
+                        f"({time.perf_counter() - t0:.1f}s)")
+                except Exception as e:
+                    log(f"[compile-ahead] {label} failed "
+                        f"({type(e).__name__}: {e}) — main thread will "
+                        f"compile it")
+            return run
+
+        _ca_items = [
+            _lower("spectral-iteration", _iteration_phase_spectral,
+                   dm, fac_s, aty_s, y, r1, gam1, prior, x1_prev, damp,
+                   rho, gamw, ts),
+            _lower("cg-iteration", _iteration_phase,
+                   dm, aty_s, y, r1, gam1, prior, x1_prev, damp, rho,
+                   gamw, mu0, bern, ts, cg_max, cg_tol),
+            _lower("spectral-dense", dense_piece_sp, fac_s, gamw, gam1),
+        ]
+        if headline and dtype in (jnp.int8, jnp.uint8):
+            _ca_items.append(_lower(
+                "eigen-iteration", _iteration_phase_eigen,
+                dm, ef_s, aty_s, y, r1, gam1, prior, x1_prev, damp, rho,
+                gamw, ts))
+        ca_pool = _fut.ThreadPoolExecutor(max_workers=4,
+                                          thread_name_prefix="compile-ahead")
+        for item in _ca_items:
+            ca_pool.submit(item)
 
     # ---- north-star metric: LMMSE matvec GB/s (one A^T A v = 2 passes) ----
     # dm must be an ARGUMENT, not a closure capture: captured operands lower
@@ -325,12 +389,6 @@ def run_config(m, n, dtype, tracker, deadline, headline=True):
     aty = jax.jit(atx)(dm, y)
 
     stage("spectral", 540)
-
-    @jax.jit
-    def dense_piece_sp(fv, t, g):
-        winv = shift_inverse(fv, t, g, nb=default_nb(n))
-        return winv.W
-
     t_dense = time_calls(lambda: dense_piece_sp(fac, gamw, gam1), k=5)
     log(f"factor dense piece (shift_inverse): {t_dense*1e3:.2f} ms")
 
@@ -344,15 +402,9 @@ def run_config(m, n, dtype, tracker, deadline, headline=True):
     log(f"spectral: iteration {t_ours*1e3:.1f} ms")
 
     # ---- reference-structured path: warm-started CG + Hutchinson probe ----
+    # (cg_tol 1e-3 for narrow dtypes = the achievable residual floor — the
+    # baseline gets the benefit of the doubt vs the reference's 1e-5 ask)
     stage("cg", 540)
-    key = jax.random.PRNGKey(1)
-    bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
-    cg_max = jnp.asarray(500)   # reference defaults, src/options.hpp:83-84
-    # reference default tol is 1e-5 (src/options.hpp:84); narrow (bf16/int8)
-    # operands floor the achievable residual near 1e-3, so the baseline gets
-    # the benefit of the doubt there (stops earlier than the reference's
-    # tolerance asks) — vs_baseline is conservative
-    cg_tol = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-3)
 
     def ref_once(g1v, gwv, mu_warm):
         return _iteration_phase(
@@ -364,7 +416,7 @@ def run_config(m, n, dtype, tracker, deadline, headline=True):
     # slightly different gammas (src/vamp.cpp:308-311 reuses mu_CG_last across
     # iterations whose gam2/gamw have moved).  Warm-starting with the exact
     # solution of the SAME system would be unfairly fast for the baseline.
-    prev = ref_once(gam1 * 1.15, gamw * 1.15, jnp.zeros(m, dtype=wd))
+    prev = ref_once(gam1 * 1.15, gamw * 1.15, mu0)
     mu_warm = prev["x2_hat"]
 
     def ref():
@@ -467,6 +519,8 @@ def run_config(m, n, dtype, tracker, deadline, headline=True):
         else:
             dm = dm._replace(X=gen_x(m, n, dtype))
 
+    if ca_pool is not None:
+        ca_pool.shutdown(wait=False, cancel_futures=True)
     xbytes = m * n * _itemsize(dtype)
     log(f"shape: M={m}, N={n}, dtype={tag}; X = {xbytes/2**30:.2f} GiB; "
         f"solver = {solver}")

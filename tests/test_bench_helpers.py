@@ -123,3 +123,57 @@ def test_supervisor_sigterm_emits_best_result(tmp_path):
     assert proc.returncode == 0, err[-1000:]
     result = json.loads(out.strip().splitlines()[-1])
     assert result["metric"] == "vamp_iter_per_s" and result["value"] > 0
+
+
+def test_compile_ahead_avals_match_measurement_calls():
+    """The compile-ahead pool lowers the phase jits with ShapeDtypeStruct
+    stand-ins for the two arrays that don't exist yet (fac.K, aty); those
+    lowerings must be IDENTICAL to the concrete-args lowerings the
+    measurement path dispatches — otherwise the AOT compile is a wasted
+    cache entry and the main thread recompiles cold."""
+    import jax
+
+    from vampomi_tpu.engine.linear import (
+        _iteration_phase, _iteration_phase_spectral,
+    )
+    from vampomi_tpu.ops.operator import atx
+    from vampomi_tpu.ops.spectral import GramFactor, build_spectral
+
+    m, n = 16384, 128
+    dm, y, r1, prior = bench.make_problem(m, n, jnp.int8)
+    wd = dm.wd
+    gam1 = jnp.asarray(1.0)
+    gamw = jnp.asarray(10.0)
+    rho = jnp.asarray(0.5)
+    damp = jnp.asarray(False)
+    ts = jnp.zeros(m, dtype=wd)
+    x1_prev = jnp.zeros(m, dtype=wd)
+    key = jax.random.PRNGKey(1)
+    bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
+    cg_max = jnp.asarray(500)
+    cg_tol = jnp.asarray(1e-3)
+    mu0 = jnp.zeros(m, dtype=wd)
+
+    fac = build_spectral(dm)
+    aty = jax.jit(atx)(dm, y)
+    fac_s = GramFactor(K=jax.ShapeDtypeStruct((n, n), wd))
+    aty_s = jax.ShapeDtypeStruct((m,), wd)
+
+    a = _iteration_phase_spectral.lower(
+        dm, fac_s, aty_s, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts)
+    b = _iteration_phase_spectral.lower(
+        dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts)
+    assert a.as_text() == b.as_text()
+
+    c = _iteration_phase.lower(
+        dm, aty_s, y, r1, gam1, prior, x1_prev, damp, rho, gamw,
+        mu0, bern, ts, cg_max, cg_tol)
+    d = _iteration_phase.lower(
+        dm, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw,
+        mu0, bern, ts, cg_max, cg_tol)
+    assert c.as_text() == d.as_text()
+    # ...and the warm-start call's scaled gammas keep the same avals
+    e = _iteration_phase.lower(
+        dm, aty, y, r1, gam1 * 1.15, prior, x1_prev, damp, rho, gamw * 1.15,
+        mu0, bern, ts, cg_max, cg_tol)
+    assert e.as_text() == d.as_text()
