@@ -149,25 +149,42 @@ def test_compile_ahead_avals_match_measurement_calls():
     ts = jnp.zeros(m, dtype=wd)
     x1_prev = jnp.zeros(m, dtype=wd)
     key = jax.random.PRNGKey(1)
-    bern = jax.random.rademacher(key, (m,), dtype=wd) / np.sqrt(float(m))
+    bern = (jax.random.rademacher(key, (m,), dtype=wd)
+            * jnp.asarray(1.0 / np.sqrt(float(m)), dtype=wd))
     cg_max = jnp.asarray(500)
     cg_tol = jnp.asarray(1e-3)
     mu0 = jnp.zeros(m, dtype=wd)
 
     fac = build_spectral(dm)
     aty = jax.jit(atx)(dm, y)
-    fac_s = GramFactor(K=jax.ShapeDtypeStruct((n, n), wd))
-    aty_s = jax.ShapeDtypeStruct((m,), wd)
+
+    # the pool's stand-ins: FULLY abstract DesignMatrix/vectors, exactly as
+    # bench.run_config builds them before make_problem
+    from vampomi_tpu.ops.operator import DesignMatrix
+    from vampomi_tpu.prior.mixture import init_prior
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    dm_s = DesignMatrix(
+        X=sds((m, n), jnp.int8), mave=sds((m,), wd), msig=sds((m,), wd),
+        mmask=sds((m,), wd), inv_sqrt_n=sds((), wd),
+        n=sds((), jnp.float64), mt=sds((), jnp.float64),
+    )
+    prior_s = init_prior([0.9, 0.07, 0.03], [0.0, 1e-3, 1e-2], n)
+    mv = sds((m,), wd)
+    yv = sds((n,), wd)
+    fac_s = GramFactor(K=sds((n, n), wd))
 
     a = _iteration_phase_spectral.lower(
-        dm, fac_s, aty_s, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts)
+        dm_s, fac_s, mv, yv, mv, gam1, prior_s, mv, damp, rho, gamw, mv)
     b = _iteration_phase_spectral.lower(
         dm, fac, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw, ts)
     assert a.as_text() == b.as_text()
 
     c = _iteration_phase.lower(
-        dm, aty_s, y, r1, gam1, prior, x1_prev, damp, rho, gamw,
-        mu0, bern, ts, cg_max, cg_tol)
+        dm_s, mv, yv, mv, gam1, prior_s, mv, damp, rho, gamw,
+        mv, mv, mv, cg_max, cg_tol)
     d = _iteration_phase.lower(
         dm, aty, y, r1, gam1, prior, x1_prev, damp, rho, gamw,
         mu0, bern, ts, cg_max, cg_tol)
