@@ -113,16 +113,24 @@ def run_gibbs(
         state = gibbs_sweep(dm, grams, state, cvars, ks, block=block)
         h2, m_incl, vg = sweep_stats(dm, state, y_dev)
 
-        # scalar fetches (cheap); the M-length fetch only on thinned sweeps
+        # ONE pytree fetch per sweep: on the relay platform every
+        # device_get is a ~0.15 s round trip, so separate float()/asarray
+        # fetches of h2/m_incl/sigma_g/sigma_e/pi/mu (6 trips) would cost
+        # minutes over a production chain; the M-length x fetch stays
+        # gated on thinned/averaging sweeps
+        h2, m_incl, vg_h, sg, se, pi, mu_h = jax.device_get(
+            (h2, m_incl, vg, state.sigma_g, state.sigma_e, state.pi,
+             state.mu))
         h2 = float(h2)
         m_incl = int(m_incl)
-        sg = float(state.sigma_g) / n       # internal -> file units
-        se = float(state.sigma_e)
-        pi = np.asarray(state.pi, dtype=np.float64)
+        vg = float(vg_h)
+        sg = float(sg) / n                  # internal -> file units
+        se = float(se)
+        pi = np.asarray(pi, dtype=np.float64)
 
         if csv_f is not None:
-            row = [it, f"{float(state.mu):.10g}", f"{sg:.10g}", f"{se:.10g}",
-                   f"{h2:.10g}", m_incl, f"{float(vg):.10g}", l_comp]
+            row = [it, f"{float(mu_h):.10g}", f"{sg:.10g}", f"{se:.10g}",
+                   f"{h2:.10g}", m_incl, f"{vg:.10g}", l_comp]
             row += [f"{p:.12f}" for p in pi]
             csv_f.write(",".join(str(v) for v in row) + "\n")
 
