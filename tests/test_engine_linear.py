@@ -185,3 +185,49 @@ def test_verbosity_compiles_in_residual_prints(small_fixture, tmp_path, capfd):
     jax.effects_barrier()
     out0 = capfd.readouterr().out
     assert "[CG] it = " not in out0 and "dist_probs" not in out0
+
+
+def test_engine_compile_ahead_hits_same_cache_keys(tmp_path):
+    """_compile_ahead_phases lowers the phase jits from ShapeDtypeStruct
+    stand-ins; the iteration loop's real calls must map to the SAME
+    persistent-cache keys — exactly one cache file per phase kernel after
+    a run (an aval mismatch would leave two differently-hashed files and
+    mean the loop recompiled cold)."""
+    import glob
+    import subprocess
+    import sys
+
+    prog = """
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from vampomi_tpu.config import RunConfig
+from vampomi_tpu.engine.linear import infere_linear
+from vampomi_tpu.ops.operator import build_design
+from vampomi_tpu.sim.data_sim import simulate_iid
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+fx = simulate_iid(n=300, m=500, lam=0.1, h2=0.8, seed=4)
+dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float32)
+cfg = RunConfig(out_dir="/tmp", out_name="ca_t", iterations=3, meth_file="x",
+                probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2], h2=0.8,
+                learn_prior_delay=1, stop_criteria_thr=0.0,
+                lmmse_solver="spectral")
+res = infere_linear(dm, fx.y, cfg, true_signal=fx.beta, write_outputs=False)
+assert np.all(np.isfinite(res.x1_hat_scaled))
+"""
+    cache = tmp_path / "ca_cache"
+    cache.mkdir()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               VAMPOMI_COMPILE_CACHE=str(cache))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", prog], env=env,
+                       capture_output=True, text=True, timeout=600, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for kernel in ("_iteration_phase_spectral", "_em_phase"):
+        files = glob.glob(str(cache) + f"/jit_{kernel}-*")
+        assert len(files) == 1, (
+            f"{kernel}: {len(files)} cache entries — the compile-ahead "
+            f"lowering and the loop's call disagree on avals"
+        )

@@ -25,6 +25,7 @@ Scaling conventions (must match the reference to reproduce its numbers):
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 from typing import NamedTuple
@@ -509,6 +510,77 @@ def warn_em_stability(cfg: RunConfig, mt: int, n: int) -> bool:
     return risky
 
 
+def _compile_ahead_phases(dm, solver, cfg, n, m_pad, gam1, gamw, rho, ts,
+                          prior, verbose):
+    """AOT-lower the iteration/EM phase jits on background threads while
+    the main thread builds the Gram factor (and possibly the eigen basis)
+    — on the remote-compile platform each phase is a 20-120 s cold
+    compile that otherwise serializes in front of iteration 1.  Single
+    device only: sharded inputs change the compiled executable, and
+    ShapeDtypeStruct stand-ins carry no sharding.  Aval-identity with the
+    loop's real calls is locked by tests/test_engine_linear.py."""
+    if jax.device_count() != 1 or os.environ.get(
+            "VAMPOMI_ENGINE_COMPILE_AHEAD") == "0":
+        return None
+    import concurrent.futures as _fut
+
+    from ..ops.eigen import EigenFactor
+    from ..ops.spectral import GramFactor
+
+    wd = dm.wd
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    mv = sds((m_pad,), wd)
+    yv = sds((n,), wd)
+    damp = jnp.asarray(True)  # it > 1; the it-1 (False) variant is the
+    # same aval (bool scalar), so one compile covers both
+    items = []
+    if solver == "eigen":
+        ef_s = EigenFactor(U=sds((n, n), wd), lam=sds((n,), jnp.float64))
+        items.append(("eigen-iteration", lambda: _iteration_phase_eigen.lower(
+            dm, ef_s, mv, yv, mv, gam1, prior, mv, damp, rho, gamw, ts
+        ).compile()))
+    # the spectral phase also serves as the eigen residual-fallback path
+    if solver in ("spectral", "eigen"):
+        fac_s = GramFactor(K=sds((n, n), wd))
+        items.append(("spectral-iteration",
+                      lambda: _iteration_phase_spectral.lower(
+                          dm, fac_s, mv, yv, mv, gam1, prior, mv, damp, rho,
+                          gamw, ts).compile()))
+    else:
+        items.append(("cg-iteration", lambda: _iteration_phase.lower(
+            dm, mv, yv, mv, gam1, prior, mv, damp, rho, gamw, mv, mv, ts,
+            jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+            debug=cfg.verbosity == 1).compile()))
+    if cfg.learn_prior_delay < cfg.iterations:
+        items.append(("em-phase", lambda: _em_phase.lower(
+            dm, mv, gam1, prior,
+            jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+            jnp.asarray(bool(cfg.learn_vars)),
+            jnp.asarray(cfg.merge_vars_thr),
+            debug=cfg.verbosity == 1).compile()))
+
+    pool = _fut.ThreadPoolExecutor(max_workers=len(items),
+                                   thread_name_prefix="engine-compile-ahead")
+
+    def run(label, thunk):
+        t0 = time.time()
+        try:
+            thunk()
+            _log(verbose, f"[compile-ahead] {label} ready "
+                          f"({time.time() - t0:.1f}s)")
+        except Exception as e:  # harmless: the loop compiles on demand
+            _log(verbose, f"[compile-ahead] {label} failed "
+                          f"({type(e).__name__}: {e})")
+
+    for label, thunk in items:
+        pool.submit(run, label, thunk)
+    pool.shutdown(wait=False)
+    return pool
+
+
 def build_eigen_budgeted(fac, cfg, verbose):
     """build_eigen(_cached) under cfg.eigen_build_budget wall seconds
     (0 = unlimited).  Returns (EigenFactor, diag) or (None, None) on
@@ -593,9 +665,14 @@ def infere_linear(
     y_adj = y_raw
 
     prior = init_prior(cfg.probs, cfg.vars, N)
-    gam1 = jnp.asarray(float(cfg.gam1))
-    gamw = jnp.asarray(1.0 / (1.0 - cfg.h2))  # src/main_meth.cpp:52
-    rho = jnp.asarray(float(cfg.rho))
+    # STRONG f64 scalars: the loop feeds back jit outputs (strong f64);
+    # a weak-typed initial value would give iteration 1 a different
+    # phase aval than iteration 2+ — one full extra remote compile
+    # (20-120 s cold) paid by every run (caught by the compile-ahead
+    # cache-key test)
+    gam1 = jnp.asarray(float(cfg.gam1), dtype=jnp.float64)
+    gamw = jnp.asarray(1.0 / (1.0 - cfg.h2), dtype=jnp.float64)  # src/main_meth.cpp:52
+    rho = jnp.asarray(float(cfg.rho), dtype=jnp.float64)
     mu_warm = jnp.zeros(M_pad, dtype=wd)  # matches x2_hat's signature: no it-2 recompile
     key = jax.random.PRNGKey(cfg.seed)
     it_start = 1
@@ -623,8 +700,8 @@ def infere_linear(
         mu_warm = jnp.asarray(a["mu_warm"], dtype=wd)
         if "y_adj" in a:
             y_adj = jnp.asarray(a["y_adj"], dtype=wd)
-        gam1 = jnp.asarray(ck["scalars"]["gam1"])
-        gamw = jnp.asarray(ck["scalars"]["gamw"])
+        gam1 = jnp.asarray(ck["scalars"]["gam1"], dtype=jnp.float64)
+        gamw = jnp.asarray(ck["scalars"]["gamw"], dtype=jnp.float64)
         prior = MixturePrior(
             probs=jnp.asarray(ck["prior"]["probs"]),
             vars=jnp.asarray(ck["prior"]["vars"]),
@@ -663,6 +740,8 @@ def infere_linear(
         n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
     solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
     warn_em_stability(cfg, Mt, N)
+    _compile_ahead_phases(dm, solver, cfg, N, M_pad, gam1, gamw, rho, ts,
+                          prior, verbose)
     fac = None
     ef = None
     aty_adj = jax.jit(atx)(dm, y_adj)  # constant across iterations

@@ -247,15 +247,17 @@ def infere_bin_class(
     x1_hat = init_vec
     r1 = jnp.zeros(M_pad, dtype=wd)   # src/vamp_probit.cpp:55
     r2 = jnp.zeros(M_pad, dtype=wd)
-    alpha1 = jnp.asarray(0.0)
+    # strong f64 scalars — same iteration-2 recompile trap as the
+    # linear engine (engine/linear.py)
+    alpha1 = jnp.asarray(0.0, dtype=jnp.float64)
 
     y_j = jnp.asarray(np.asarray(y, dtype=np.float64), dtype=wd)
     prior = init_prior(cfg.probs, cfg.vars, N)
-    gam1 = jnp.asarray(float(cfg.gam1))
+    gam1 = jnp.asarray(float(cfg.gam1), dtype=jnp.float64)
     tau1 = gam1  # src/vamp_probit.cpp:35
-    gam2 = jnp.asarray(0.0)
-    rho = jnp.asarray(float(cfg.rho))
-    probit_var = jnp.asarray(float(cfg.probit_var))
+    gam2 = jnp.asarray(0.0, dtype=jnp.float64)
+    rho = jnp.asarray(float(cfg.rho), dtype=jnp.float64)
+    probit_var = jnp.asarray(float(cfg.probit_var), dtype=jnp.float64)
 
     key = jax.random.PRNGKey(cfg.seed)
     key, sub = jax.random.split(key)
@@ -286,10 +288,10 @@ def infere_bin_class(
         if "m_cov" in a:
             m_cov = jnp.asarray(a["m_cov"], dtype=wd)
         s = ck["scalars"]
-        gam1 = jnp.asarray(s["gam1"])
-        tau1 = jnp.asarray(s["tau1"])
-        gam2 = jnp.asarray(s["gam2"])
-        alpha1 = jnp.asarray(s["alpha1"])
+        gam1 = jnp.asarray(s["gam1"], dtype=jnp.float64)
+        tau1 = jnp.asarray(s["tau1"], dtype=jnp.float64)
+        gam2 = jnp.asarray(s["gam2"], dtype=jnp.float64)
+        alpha1 = jnp.asarray(s["alpha1"], dtype=jnp.float64)
         prior = MixturePrior(
             probs=jnp.asarray(ck["prior"]["probs"]),
             vars=jnp.asarray(ck["prior"]["vars"]),
