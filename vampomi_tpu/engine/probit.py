@@ -25,6 +25,7 @@ linear header (src/vamp.cpp:72-77 + vamp_probit.cpp:22).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import NamedTuple
 
@@ -213,9 +214,76 @@ def _probit_phase(
         nmse=nmse,
         x1_hat=x1_hat, alpha1=alpha1, gam2=gam2, r2=r2_new,
         x2_hat=x2_hat, alpha2=alpha2, r1=r1_new, gam1=gam1_new,
-        p1=p1_new, p2=p2_new, tau1=tau1_new, tau2=tau2,
+        # N-length duals leave in the WORK dtype (house policy — and the
+        # next iteration feeds them straight back in: an f64 leak here
+        # changed the phase's input avals at iteration 2, forcing a full
+        # silent recompile every run)
+        p1=p1_new.astype(wd), p2=p2_new.astype(wd),
+        tau1=tau1_new, tau2=tau2,
         z1_hat=z1_hat, metrics=metrics, params=params, cg_iters=cg_iters,
     )
+
+
+def _compile_ahead_probit(dm, solver, cfg, n, m_pad, gam1, tau1, gam2,
+                          alpha1, rho, probit_var, prior, verbose):
+    """AOT-lower the probit phase (+ EM phase) on background threads while
+    the main thread builds the Gram factor / eigen basis — the probit
+    analog of engine/linear.py _compile_ahead_phases (same single-device
+    gate, same harmless-on-failure contract)."""
+    if jax.device_count() != 1 or os.environ.get(
+            "VAMPOMI_ENGINE_COMPILE_AHEAD") == "0":
+        return None
+    import concurrent.futures as _fut
+
+    from ..ops.eigen import EigenFactor
+    from ..ops.spectral import GramFactor
+    from .linear import _em_phase
+
+    wd = dm.wd
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    mv = sds((m_pad,), wd)
+    yv = sds((n,), wd)
+    damp = jnp.asarray(True)
+    if solver == "eigen":
+        fac_s = EigenFactor(U=sds((n, n), wd), lam=sds((n,), jnp.float64))
+    elif solver == "spectral":
+        fac_s = GramFactor(K=sds((n, n), wd))
+    else:
+        fac_s = None
+    items = [("probit-phase", lambda: _probit_phase.lower(
+        dm, yv, yv, mv, mv, yv, yv,
+        gam1, tau1, gam2, alpha1, prior, mv,
+        damp, rho, probit_var, mv, mv,
+        jnp.asarray(cfg.CG_max_iter), jnp.asarray(cfg.CG_err_tol),
+        fac=fac_s, solver=solver, debug=cfg.verbosity == 1).compile())]
+    if cfg.iterations > 1:
+        items.append(("em-phase", lambda: _em_phase.lower(
+            dm, mv, gam1, prior,
+            jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
+            jnp.asarray(bool(cfg.learn_vars)),
+            jnp.asarray(cfg.merge_vars_thr),
+            debug=cfg.verbosity == 1).compile()))
+
+    pool = _fut.ThreadPoolExecutor(max_workers=len(items),
+                                   thread_name_prefix="probit-compile-ahead")
+
+    def run(label, thunk):
+        t0 = time.time()
+        try:
+            thunk()
+            _log(verbose, f"[compile-ahead] {label} ready "
+                          f"({time.time() - t0:.1f}s)")
+        except Exception as e:
+            _log(verbose, f"[compile-ahead] {label} failed "
+                          f"({type(e).__name__}: {e})")
+
+    for label, thunk in items:
+        pool.submit(run, label, thunk)
+    pool.shutdown(wait=False)
+    return pool
 
 
 def infere_bin_class(
@@ -328,6 +396,8 @@ def infere_bin_class(
         n_devices = int(np.prod(dm.X.sharding.mesh.devices.shape))
     solver = choose_lmmse_solver(cfg, Mt, N, n_devices)
     warn_em_stability(cfg, Mt, N)
+    _compile_ahead_probit(dm, solver, cfg, N, M_pad, gam1, tau1, gam2,
+                          alpha1, rho, probit_var, prior, verbose)
     fac = None
     if solver in ("spectral", "eigen"):
         t_fac = time.time()
