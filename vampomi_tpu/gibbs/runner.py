@@ -79,6 +79,29 @@ def run_gibbs(
             block //= 2
     cvars = jnp.asarray(decade_cvars(l_comp), dtype=jnp.float64)
 
+    state = init_state(dm, y, l_comp, h2_init=h2_init)
+
+    # compile-ahead: lower the sweep on a background thread while the main
+    # thread builds the block Grams — two of the three cold compiles then
+    # overlap (engine/linear.py _compile_ahead_phases rationale)
+    if (jax.device_count() == 1
+            and os.environ.get("VAMPOMI_ENGINE_COMPILE_AHEAD") != "0"):
+        import threading
+
+        def _prelower():
+            try:
+                nb_s = dm.m_pad // block
+                grams_s = jax.ShapeDtypeStruct((nb_s, block, block),
+                                               jnp.float32)
+                key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+                gibbs_sweep.lower(dm, grams_s, state, cvars, key_s,
+                                  block=block).compile()
+            except Exception:
+                pass  # harmless: the first sweep compiles on demand
+
+        threading.Thread(target=_prelower,
+                         name="gibbs-compile-ahead", daemon=True).start()
+
     t0 = time.time()
     grams = build_block_grams(dm, block=block)
     grams.block_until_ready()
@@ -86,7 +109,6 @@ def run_gibbs(
         print(f"[gibbs] {dm.m_pad // block} block Grams (B={block}) in "
               f"{time.time() - t0:.2f}s", flush=True)
 
-    state = init_state(dm, y, l_comp, h2_init=h2_init)
     y_dev = jnp.asarray(np.asarray(y, dtype=np.float64), dtype=dm.wd)
 
     csv_path = bet_path = grm_path = None
