@@ -358,9 +358,17 @@ def _matrix_sign(Kb, dvec, alpha, ell0, max_iter=40, tol=None, deadline=None):
         a, b, ell = _ns_coeffs(ell)
         X, _ = _ns_step(X, jnp.asarray(a, wd), jnp.asarray(b, wd))
         it += 1
-    # polish with plain NS until diag(X^2) ~ 1 (one scalar fetch per step)
+    # polish with plain NS, TWO steps per convergence fetch: each scalar
+    # fetch is a ~0.15 s relay round trip, while an extra (possibly
+    # unneeded) NS step is ~0.15 s of MXU work at r=10240 and far less
+    # below — and a converged sign is a fixed point of the iteration, so
+    # overshooting is exact, not just harmless
     while it < max_iter:
         _check_deadline(deadline)
+        X, _ = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
+        it += 1
+        if it >= max_iter:
+            break
         X, errd = _ns_step(X, jnp.asarray(1.5, wd), jnp.asarray(0.5, wd))
         it += 1
         if float(errd) < tol:
@@ -722,11 +730,13 @@ def _build_eigen_inner(fac, seed, leaf, max_depth, verbose, deadline, vlog,
             # P1: projector onto real eigs < sigma; P2: real eigs > sigma,
             # pads masked off exactly
             P1, P2, trXd, trsq = _sign_finish(X, rmask)
-            trX = float(trXd)
+            # ONE fetch for both convergence scalars (each device_get is a
+            # ~0.15 s relay round trip; this runs once per split)
+            trX, trsq_h = map(float, jax.device_get((trXd, trsq)))
             # modes stuck at ~0 = eigenvalues ON sigma (see _sign_finish);
             # each retry costs one sign run, and after 3 the recursion
             # proceeds with the last split exactly as before
-            n_zero = r - float(trsq)
+            n_zero = r - trsq_h
             if abs(trX - round(trX)) < 0.25 and n_zero < 0.5:
                 break
             if attempt < 2:
