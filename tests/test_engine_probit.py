@@ -148,3 +148,24 @@ assert np.all(np.isfinite(res.x1_hat_scaled))
             f"{kernel}: {len(files)} cache entries — aval mismatch between "
             f"compile-ahead and the loop"
         )
+
+
+def test_probit_eigen_build_budget_falls_back(small_fixture):
+    """--eigen-build-budget on the probit engine: an overrunning build
+    must fall back to the spectral factor path and still complete."""
+    from vampomi_tpu.config import RunConfig
+    from vampomi_tpu.engine.probit import infere_bin_class
+
+    fx = small_fixture
+    dm = build_design(fx.X.T, mesh=None, compute_dtype=jnp.float32)
+    y_bin = (fx.y > np.median(fx.y)).astype(np.float64)
+    cfg = RunConfig(
+        out_dir="/tmp", out_name="pbud_t", iterations=3, meth_file="x",
+        model="bin_class", probs=[0.9, 0.07, 0.03], vars=[0.0, 1e-3, 1e-2],
+        h2=0.8, stop_criteria_thr=0.0,
+        lmmse_solver="eigen", eigen_build_budget=1e-9,
+    )
+    res = infere_bin_class(dm, y_bin, cfg, true_signal=fx.beta,
+                           write_outputs=False)
+    assert res.iterations_run == 3
+    assert np.all(np.isfinite(res.x1_hat_scaled))
