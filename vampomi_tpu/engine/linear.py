@@ -77,6 +77,12 @@ class LinearResult(NamedTuple):
     probs: np.ndarray
     vars: np.ndarray            # internal (×N) scale
     metrics_history: list
+    # final LMMSE extrinsic in file units (r1/sqrt(N)) — the (r1, gam1) pair
+    # the NEXT denoising step would consume, i.e. what `_r1_it_<k+1>.bin`
+    # plus the params-CSV gam1 column give the offline SE p-value script
+    # (reference scripts/p_vals.py:44-62).  Lets api.association_pvals work
+    # fully in memory, no iteration dumps needed.
+    r1_scaled: np.ndarray | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("debug",))
@@ -956,4 +962,5 @@ def infere_linear(
         probs=np.asarray(prior.probs)[act],
         vars=np.asarray(prior.vars)[act],
         metrics_history=metrics_history,
+        r1_scaled=fetch_global(r1).astype(np.float64)[:Mt] / sqrt_n,
     )

@@ -64,6 +64,9 @@ class ProbitResult(NamedTuple):
     probs: np.ndarray
     vars: np.ndarray
     metrics_history: list
+    # final denoiser-input extrinsic in file units (r1/sqrt(N)); see
+    # engine/linear.py LinearResult.r1_scaled for the (r1, gam1) pairing
+    r1_scaled: np.ndarray | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("solver", "debug"))
@@ -586,4 +589,5 @@ def infere_bin_class(
         probs=np.asarray(prior.probs)[act],
         vars=np.asarray(prior.vars)[act],
         metrics_history=metrics_history,
+        r1_scaled=fetch_global(r1).astype(np.float64)[:Mt] / sqrt_n,
     )
