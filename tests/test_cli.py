@@ -100,3 +100,22 @@ def test_cli_probit_and_predict(fixture_dir):
         "--out-dir", d, "--out-name", "pb",
     ])
     assert os.path.exists(f"{d}/pb_test.csv")
+
+
+def test_num_mix_comp_decorative_warning(capsys):
+    """--num-mix-comp is decorative (prior size = len(--probs), reference
+    options.cpp:147-155 / SURVEY Q6); an explicitly disagreeing value warns,
+    silence otherwise."""
+    from vampomi_tpu.cli import parse_config
+
+    base = ["--meth-file", "x.bin", "--probs", "0.9,0.1", "--vars", "0,1e-2"]
+    cfg = parse_config(base + ["--num-mix-comp", "5"])
+    assert cfg.num_mix_comp == 5 and len(cfg.probs) == 2
+    assert "decorative" in capsys.readouterr().out
+
+    cfg = parse_config(base)                       # flag not passed: silent
+    assert cfg.num_mix_comp == 10                  # reference code default
+    assert "decorative" not in capsys.readouterr().out
+
+    cfg = parse_config(base + ["--num-mix-comp", "2"])   # agreeing: silent
+    assert "decorative" not in capsys.readouterr().out

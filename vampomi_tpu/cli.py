@@ -62,7 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--EM-max-iter", type=int, default=1)
     h.add_argument("--CG-max-iter", type=int, default=500)
     h.add_argument("--CG-err-tol", type=float, default=1e-5)
-    h.add_argument("--num-mix-comp", type=int, default=10)
+    # default -1 = "not passed": the flag is decorative (prior size is
+    # len(--probs), reference options.cpp:147-155 / SURVEY Q6) — warn only
+    # when the user explicitly supplies a disagreeing value
+    h.add_argument("--num-mix-comp", type=int, default=-1)
     h.add_argument("--learn-vars", type=int, default=1)
     h.add_argument("--learn-prior-delay", type=int, default=1)
     h.add_argument("--alpha-scale", type=float, default=1.0)
@@ -133,9 +136,12 @@ def parse_config(argv: list[str]) -> RunConfig:
     cfg = RunConfig()
     for f in vars(args):
         key = f  # argparse already converted dashes to underscores
-        if key in ("vars", "probs", "test_iter_range", "init_conf"):
+        if key in ("vars", "probs", "test_iter_range", "init_conf",
+                   "num_mix_comp"):
             continue
         setattr(cfg, key, getattr(args, f))
+    if args.num_mix_comp >= 0:
+        cfg.num_mix_comp = args.num_mix_comp
     if args.init_conf:
         conf = load_init_conf(args.init_conf)
         cfg.rho, cfg.h2 = conf["rho"], conf["h2"]
@@ -146,6 +152,10 @@ def parse_config(argv: list[str]) -> RunConfig:
         cfg.probs = [float(v) for v in args.probs.split(",")]
     if args.test_iter_range:
         cfg.test_iter_range = [int(v) for v in args.test_iter_range.split(",")]
+    if args.num_mix_comp >= 0 and args.num_mix_comp != len(cfg.probs):
+        print(f"WARNING: --num-mix-comp {args.num_mix_comp} is decorative — "
+              f"the prior has len(--probs) = {len(cfg.probs)} components "
+              f"(reference options.cpp:147-155, SURVEY Q6)")
     cfg.check()
     return cfg
 
