@@ -150,6 +150,13 @@ def _child_imports():
         # the container sitecustomize pre-selects the axon platform at
         # interpreter start; the env var alone does not undo that
         _jax.config.update("jax_platforms", "cpu")
+        if "--xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+            # keep XLA:CPU persistent-cache entries loadable (the AVX512
+            # prefer-no-gather/scatter pseudo-features fail the AOT
+            # loader's machine check on jax 0.9.0 — tests/conftest.py)
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+            )
     import jax.numpy as _jnp
     import numpy as _np
 

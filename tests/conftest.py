@@ -9,8 +9,15 @@ correctness relies on rank-count-invariant Allreduce results (SURVEY §4.5).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# --xla_cpu_max_isa=AVX2: on jax 0.9.0 + Sapphire-Rapids-class hosts the
+# XLA:CPU AOT loader refuses its OWN persistent-cache entries (its machine
+# check trips on the prefer-no-gather/scatter tuning pseudo-features that
+# AVX512 targeting adds), so every test subprocess recompiled from scratch
+# (~4x suite wall time).  Capping at AVX2 omits those pseudo-features and
+# cache loads work again; the suite is compile-bound, not vector-bound.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
 )
 
 # The container's sitecustomize imports jax at interpreter start with

@@ -59,7 +59,13 @@ def test_supervisor_kills_hung_child_and_retries(tmp_path):
         VAMPOMI_BENCH_NO_COMPANION="1",
         VAMPOMI_BENCH_TEST_HANG_STAGE="int8:gram",
         VAMPOMI_BENCH_TEST_HANG_ONCE=str(marker),
-        VAMPOMI_BENCH_TEST_STAGE_MAX="5",
+        # Must cover a COLD stage: on jax 0.9.0 this host never loads
+        # XLA:CPU entries from the persistent cache (the AOT loader's
+        # machine check trips on its own prefer-no-gather/scatter tuning
+        # pseudo-features and recompiles), so every child pays full
+        # compiles.  5s assumed warm loads and killed healthy children
+        # at 'int8:problem' before the injected hang ever fired.
+        VAMPOMI_BENCH_TEST_STAGE_MAX="60",
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(

@@ -46,15 +46,12 @@ import os as _os
 import tempfile as _tempfile
 
 if _os.environ.get("VAMPOMI_NO_COMPILE_CACHE") != "1":
-    # per-user default: a world-shared fixed path breaks for the second user
-    # on a multi-user machine (directory owned by the first)
-    _default_cache = _os.path.join(
-        _tempfile.gettempdir(), f"vampomi_jax_cache_{_os.getuid()}"
-    )
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("VAMPOMI_COMPILE_CACHE", _default_cache),
-    )
+    # per-user, per-host-fingerprint default (see _cachedir): a world-shared
+    # fixed path breaks for the second user on a multi-user machine, and CPU
+    # executables must not outlive the machine that compiled them
+    from ._cachedir import default_cache_dir as _default_cache_dir
+
+    _jax.config.update("jax_compilation_cache_dir", _default_cache_dir())
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 _GREEN, _YELLOW, _RED, _OFF = "\033[32m", "\033[33m", "\033[31m", "\033[0m"
@@ -63,10 +62,9 @@ def check_native_ext() -> bool:
 def check_compile_cache() -> bool:
     if os.environ.get("VAMPOMI_NO_COMPILE_CACHE") == "1":
         return _line("WARN", "compile cache", "disabled by env")
-    path = os.environ.get(
-        "VAMPOMI_COMPILE_CACHE",
-        os.path.join(tempfile.gettempdir(), f"vampomi_jax_cache_{os.getuid()}"),
-    )
+    from vampomi_tpu._cachedir import default_cache_dir
+
+    path = default_cache_dir()
     n = 0
     if os.path.isdir(path):
         try:

@@ -27,11 +27,20 @@ kernel (BASELINE.json).
 from __future__ import annotations
 
 import functools
+import sys
+import threading
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# All pallas_calls below trace under `jax.enable_x64(False)`: with the
+# package's global x64 mode the BlockSpec index maps trace to i64 returns,
+# which the relay's 2026-08-18 Mosaic toolchain refuses to legalize
+# ("func.return (i64, i64)", BENCH_r04 first attempt).  The kernels touch
+# only f32/int8/uint8 values, so trace-time x64-off changes nothing but the
+# index dtypes.
 
 # (TM, N) int8 tile = TM*N bytes; TM=512 at N=10240 is 5.2 MB, double-
 # buffered by the pipeline -> ~10.5 MB of the 16 MB scoped VMEM (TM=1024
@@ -59,18 +68,21 @@ def atx_int8_raw(Xq: jax.Array, y: jax.Array, tm: int,
     backend) so the CPU test suite can lock its numerics.
     """
     m, n = Xq.shape
-    out = pl.pallas_call(
-        _atx_kernel,
-        grid=(m // tm,),
-        in_specs=[
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
-        interpret=interpret,
-    )(y.astype(jnp.float32).reshape(1, n), Xq)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _atx_kernel,
+            grid=(m // tm,),
+            in_specs=[
+                pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            interpret=interpret,
+        )(y.astype(jnp.float32).reshape(1, n), Xq)
     return out[:, 0]
 
 
@@ -92,19 +104,23 @@ def atx_packed4_raw(Xp: jax.Array, y: jax.Array, tm: int,
     code → f32 upcast.  One HBM pass over HALF the int8 byte count."""
     m, n2 = Xp.shape
     yf = y.astype(jnp.float32)
-    out = pl.pallas_call(
-        _atx_packed4_kernel,
-        grid=(m // tm,),
-        in_specs=[
-            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
-        interpret=interpret,
-    )(yf[:n2].reshape(1, n2), yf[n2:].reshape(1, n2), Xp)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _atx_packed4_kernel,
+            grid=(m // tm,),
+            in_specs=[
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            interpret=interpret,
+        )(yf[:n2].reshape(1, n2), yf[n2:].reshape(1, n2), Xp)
     return out[:, 0]
 
 
@@ -139,23 +155,28 @@ def ax_batch_packed4_raw(Xp: jax.Array, w: jax.Array, tmk: tuple[int, int],
     # bf16 multiplies on the real MXU (4-bit codes are exact there); the
     # CPU interpreter lacks bf16 dots, so interpret mode multiplies in f32
     mul = jnp.float32 if interpret else jnp.bfloat16
-    lo, hi = pl.pallas_call(
-        functools.partial(_ax_batch_packed4_kernel, mul_dtype=mul),
-        grid=(m // tm,),
-        in_specs=[
-            pl.BlockSpec((k, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((k, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, n2), jnp.float32),
-            jax.ShapeDtypeStruct((k, n2), jnp.float32),
-        ),
-        interpret=interpret,
-    )(w.T.reshape(k, m), Xp)
+    with jax.enable_x64(False):
+        lo, hi = pl.pallas_call(
+            functools.partial(_ax_batch_packed4_kernel, mul_dtype=mul),
+            grid=(m // tm,),
+            in_specs=[
+                pl.BlockSpec((k, tm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((k, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((k, n2), jnp.float32),
+                jax.ShapeDtypeStruct((k, n2), jnp.float32),
+            ),
+            interpret=interpret,
+        )(w.T.reshape(k, m), Xp)
     return jnp.concatenate([lo, hi], axis=1).T  # (N, K)
 
 
