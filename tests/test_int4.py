@@ -251,3 +251,32 @@ def test_engine_converges_int4(small_fixture, tmp_path, solver):
     corr = np.corrcoef(res.x1_hat_scaled, fx.beta)[0, 1]
     assert corr > 0.65, f"int4 {solver}: corr {corr}"
     assert np.isfinite(res.gamw)
+
+
+def test_chunked_unpack_fallback_matches_unchunked(small_fixture, monkeypatch):
+    """The marker-chunked unpack fallbacks (operator._packed4_*_chunked,
+    round-3 review Weak #4: no full-M bf16 transient off the Pallas gate)
+    must reproduce the single-shot unpack-einsum results, including a
+    ragged final chunk (M=500 with chunk=256 -> 256 + 244)."""
+    from vampomi_tpu.ops import operator as op
+
+    X = small_fixture.X  # (N=200, M=500)
+    dm = build_design(X.T, compute_dtype=PACKED4_DTYPE)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=dm.m_pad).astype(np.float32))
+    xs = jnp.asarray(rng.normal(size=(dm.m_pad, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=X.shape[0]).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(X.shape[0], 3)).astype(np.float32))
+
+    assert op._packed4_chunk(dm.X.shape[0], dm.X.shape[1]) is None
+    ref = [np.asarray(f(dm, v)) for f, v in
+           ((ax, x), (atx, y), (ax_batch, xs), (atx_batch, ys))]
+
+    monkeypatch.setattr(op, "_UNPACK_CHUNK_BYTES", 65536)
+    chunk = op._packed4_chunk(dm.X.shape[0], dm.X.shape[1])
+    assert chunk == 256 and dm.X.shape[0] % chunk != 0  # ragged tail
+    got = [np.asarray(f(dm, v)) for f, v in
+           ((ax, x), (atx, y), (ax_batch, xs), (atx_batch, ys))]
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5)

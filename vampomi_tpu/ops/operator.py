@@ -106,6 +106,75 @@ def unpack_nibbles(Xp: jax.Array, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Ar
     return lo, hi
 
 
+# Transient-memory budget for the packed-int4 unpack-einsum fallbacks: the
+# two bf16 code halves of a marker chunk are kept under this many bytes by
+# processing X in marker blocks (lax.scan / lax.map), instead of
+# materializing the full-M halves (4x the packed bytes — the round-3 review
+# OOM caveat for mesh + int4 + CG near the per-chip capacity ceiling).
+_UNPACK_CHUNK_BYTES = 256 << 20
+
+
+def _packed4_chunk(m: int, n2: int) -> int | None:
+    """Marker-chunk length for the unpack fallbacks, or None when the whole
+    (m, n2) unpack already fits the budget.  bf16 halves cost 4*m*n2 bytes."""
+    if 4 * m * n2 <= _UNPACK_CHUNK_BYTES or m <= 1:
+        return None
+    chunk = max(256, _UNPACK_CHUNK_BYTES // (4 * n2))
+    return min(m, chunk)
+
+
+def _packed4_atx_chunked(Xp: jax.Array, yb_lo: jax.Array, yb_hi: jax.Array,
+                         chunk: int) -> jax.Array:
+    """A^T-direction unpack-einsum over marker chunks: (m, n2) packed codes
+    x (n2, K) bf16 halves of y → (m, K) f32, never holding more than one
+    chunk's bf16 halves.  Sequential over chunks is free — the op is
+    HBM-bound on X either way."""
+    m, n2 = Xp.shape
+    nfull = (m // chunk) * chunk
+
+    def body(Xc):
+        lo, hi = unpack_nibbles(Xc)
+        return (
+            jnp.einsum("mn,nk->mk", lo, yb_lo, preferred_element_type=jnp.float32)
+            + jnp.einsum("mn,nk->mk", hi, yb_hi, preferred_element_type=jnp.float32)
+        )
+
+    out = jax.lax.map(body, Xp[:nfull].reshape(nfull // chunk, chunk, n2))
+    out = out.reshape(nfull, yb_lo.shape[1])
+    if nfull != m:
+        out = jnp.concatenate([out, body(Xp[nfull:])])
+    return out
+
+
+def _packed4_ax_chunked(Xp: jax.Array, wb: jax.Array, chunk: int) -> jax.Array:
+    """A-direction unpack-einsum over marker chunks: (m, n2) packed codes,
+    (m, K) bf16 weights → (N=2*n2, K) f32 accumulated across chunks."""
+    m, n2 = Xp.shape
+    k = wb.shape[1]
+    nfull = (m // chunk) * chunk
+
+    def piece(Xc, wc):
+        lo, hi = unpack_nibbles(Xc)
+        return jnp.concatenate([
+            jnp.einsum("mk,mn->nk", wc, lo, preferred_element_type=jnp.float32),
+            jnp.einsum("mk,mn->nk", wc, hi, preferred_element_type=jnp.float32),
+        ])
+
+    def body(acc, args):
+        Xc, wc = args
+        return acc + piece(Xc, wc), None
+
+    acc = jnp.zeros((2 * n2, k), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc,
+        (Xp[:nfull].reshape(nfull // chunk, chunk, n2),
+         wb[:nfull].reshape(nfull // chunk, chunk, k)),
+    )
+    if nfull != m:
+        acc = acc + piece(Xp[nfull:], wb[nfull:])
+    return acc
+
+
 def _mxu_operands(dm: DesignMatrix, w):
     """(X', w') einsum operands for the fused standardize-matvec.
 
@@ -136,10 +205,9 @@ def ax(dm: DesignMatrix, x: jax.Array) -> jax.Array:
     if dm.X.dtype == PACKED4_DTYPE:
         # K=1 case of the batch path, so the single-vector direction rides
         # the same Pallas kernel gate.  Off the gate (multi-device meshes,
-        # non-tiling shapes) the unpack-einsum fallback materializes both
-        # bf16 code halves at the shard's full M — 4x the packed bytes —
-        # so int4 near the per-chip capacity ceiling should stay on the
-        # eigen/spectral solvers, which only stream ax/atx (kernel-gated).
+        # non-tiling shapes) the unpack-einsum fallback processes X in
+        # marker chunks (_packed4_ax_chunked), keeping the bf16 transient
+        # under _UNPACK_CHUNK_BYTES instead of 4x the packed bytes.
         return ax_batch(dm, x[:, None])[:, 0]
     w = dm.msig * x.astype(dm.wd)
     Xo, wo = _mxu_operands(dm, w)
@@ -171,12 +239,17 @@ def atx(dm: DesignMatrix, y: jax.Array) -> jax.Array:
         xy = pallas_matvec.atx_int8_raw(dm.X, yc, tm)
     elif dm.X.dtype == PACKED4_DTYPE:
         n2 = dm.X.shape[1]
-        lo, hi = unpack_nibbles(dm.X)
         yb = yc.astype(jnp.bfloat16)
-        xy = (
-            jnp.einsum("mn,n->m", lo, yb[:n2], preferred_element_type=jnp.float32)
-            + jnp.einsum("mn,n->m", hi, yb[n2:], preferred_element_type=jnp.float32)
-        )
+        chunk = _packed4_chunk(dm.X.shape[0], n2)
+        if chunk is not None:
+            xy = _packed4_atx_chunked(
+                dm.X, yb[:n2, None], yb[n2:, None], chunk)[:, 0]
+        else:
+            lo, hi = unpack_nibbles(dm.X)
+            xy = (
+                jnp.einsum("mn,n->m", lo, yb[:n2], preferred_element_type=jnp.float32)
+                + jnp.einsum("mn,n->m", hi, yb[n2:], preferred_element_type=jnp.float32)
+            )
     else:
         Xo, yo = _mxu_operands(dm, yc)
         xy = jnp.einsum(
@@ -197,12 +270,18 @@ def ax_batch(dm: DesignMatrix, xs: jax.Array) -> jax.Array:
         if tmk is not None:
             z = pallas_matvec.ax_batch_packed4_raw(dm.X, w, tmk)
         else:
-            lo, hi = unpack_nibbles(dm.X)
             wb = w.astype(jnp.bfloat16)
-            z = jnp.concatenate([
-                jnp.einsum("mk,mn->nk", wb, lo, preferred_element_type=jnp.float32),
-                jnp.einsum("mk,mn->nk", wb, hi, preferred_element_type=jnp.float32),
-            ])
+            chunk = _packed4_chunk(dm.X.shape[0], dm.X.shape[1])
+            if chunk is not None:
+                z = _packed4_ax_chunked(dm.X, wb, chunk)
+            else:
+                lo, hi = unpack_nibbles(dm.X)
+                z = jnp.concatenate([
+                    jnp.einsum("mk,mn->nk", wb, lo,
+                               preferred_element_type=jnp.float32),
+                    jnp.einsum("mk,mn->nk", wb, hi,
+                               preferred_element_type=jnp.float32),
+                ])
     else:
         Xo, wo = _mxu_operands(dm, w)
         z = jnp.einsum(
@@ -222,10 +301,9 @@ def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
     tile-by-tile — CG normal equations, probit LMMSE and the Onsager probe
     run on int4 in one half-byte pass with no full-M bf16 transient.  The
     unpack-einsum fallback (multi-device meshes, non-tiling shapes, K > 8)
-    materializes both bf16 code halves at the SHARD's full M — 4x the
-    packed bytes — so mesh + int4 + CG near the per-chip capacity ceiling
-    can OOM where the eigen/spectral path (which never calls this) fits;
-    see `ax`/`atx` for the same caveat on the K=1 fallbacks."""
+    unpacks X in marker chunks (_packed4_atx_chunked), so its bf16
+    transient stays under _UNPACK_CHUNK_BYTES per shard even at the
+    M~2e6 capacity configuration (round-3 review Weak #4)."""
     yc = ys.astype(dm.wd)
     if dm.X.dtype == PACKED4_DTYPE:
         tmk = pallas_matvec.atx_batch_packed4_applicable(dm, ys.shape[1])
@@ -233,14 +311,18 @@ def atx_batch(dm: DesignMatrix, ys: jax.Array) -> jax.Array:
             xy = pallas_matvec.atx_batch_packed4_raw(dm.X, yc, tmk)
         else:
             n2 = dm.X.shape[1]
-            lo, hi = unpack_nibbles(dm.X)
             yb = yc.astype(jnp.bfloat16)
-            xy = (
-                jnp.einsum("mn,nk->mk", lo, yb[:n2],
-                           preferred_element_type=jnp.float32)
-                + jnp.einsum("mn,nk->mk", hi, yb[n2:],
-                             preferred_element_type=jnp.float32)
-            )
+            chunk = _packed4_chunk(dm.X.shape[0], n2)
+            if chunk is not None:
+                xy = _packed4_atx_chunked(dm.X, yb[:n2], yb[n2:], chunk)
+            else:
+                lo, hi = unpack_nibbles(dm.X)
+                xy = (
+                    jnp.einsum("mn,nk->mk", lo, yb[:n2],
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("mn,nk->mk", hi, yb[n2:],
+                                 preferred_element_type=jnp.float32)
+                )
     else:
         Xo, yo = _mxu_operands(dm, yc)
         xy = jnp.einsum(
