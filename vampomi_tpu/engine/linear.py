@@ -83,6 +83,10 @@ class LinearResult(NamedTuple):
     # (reference scripts/p_vals.py:44-62).  Lets api.association_pvals work
     # fully in memory, no iteration dumps needed.
     r1_scaled: np.ndarray | None = None
+    # per-iteration wall seconds (utils/telemetry.py Tracer records) — lets
+    # callers measure steady-state it/s without diffing two runs whose
+    # compile costs may not cancel (tools/probit_northstar.py)
+    iter_seconds: list | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("debug",))
@@ -963,4 +967,5 @@ def infere_linear(
         vars=np.asarray(prior.vars)[act],
         metrics_history=metrics_history,
         r1_scaled=fetch_global(r1).astype(np.float64)[:Mt] / sqrt_n,
+        iter_seconds=[r.seconds for r in tracer.records],
     )

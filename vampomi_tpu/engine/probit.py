@@ -67,6 +67,10 @@ class ProbitResult(NamedTuple):
     # final denoiser-input extrinsic in file units (r1/sqrt(N)); see
     # engine/linear.py LinearResult.r1_scaled for the (r1, gam1) pairing
     r1_scaled: np.ndarray | None = None
+    # per-iteration wall seconds (utils/telemetry.py Tracer records) — lets
+    # callers measure steady-state it/s without diffing two runs whose
+    # compile costs may not cancel (tools/probit_northstar.py)
+    iter_seconds: list | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("solver", "debug"))
@@ -590,4 +594,5 @@ def infere_bin_class(
         vars=np.asarray(prior.vars)[act],
         metrics_history=metrics_history,
         r1_scaled=fetch_global(r1).astype(np.float64)[:Mt] / sqrt_n,
+        iter_seconds=[r.seconds for r in tracer.records],
     )
