@@ -128,51 +128,59 @@ def _packed4_atx_chunked(Xp: jax.Array, yb_lo: jax.Array, yb_hi: jax.Array,
     """A^T-direction unpack-einsum over marker chunks: (m, n2) packed codes
     x (n2, K) bf16 halves of y → (m, K) f32, never holding more than one
     chunk's bf16 halves.  Sequential over chunks is free — the op is
-    HBM-bound on X either way."""
-    m, n2 = Xp.shape
-    nfull = (m // chunk) * chunk
+    HBM-bound on X either way.
 
-    def body(Xc):
+    Chunks are fori_loop dynamic slices of the ORIGINAL Xp (never a
+    reshaped prefix copy): a sliced xs operand of scan/map materializes a
+    near-full copy of packed X when chunk ∤ m — ~10 GiB at the M≈2e6
+    capacity shape, the exact transient this path exists to avoid (round-4
+    advisor finding).  The ragged tail is handled by clamping the final
+    chunk's start to m - chunk; the overlap rows are recomputed with
+    identical values, so the dynamic_update_slice write is idempotent."""
+    m, n2 = Xp.shape
+    k = yb_lo.shape[1]
+    nchunks = -(-m // chunk)
+
+    def body(i, out):
+        start = jnp.minimum(i * chunk, m - chunk)
+        Xc = jax.lax.dynamic_slice_in_dim(Xp, start, chunk, axis=0)
         lo, hi = unpack_nibbles(Xc)
-        return (
+        val = (
             jnp.einsum("mn,nk->mk", lo, yb_lo, preferred_element_type=jnp.float32)
             + jnp.einsum("mn,nk->mk", hi, yb_hi, preferred_element_type=jnp.float32)
         )
+        return jax.lax.dynamic_update_slice_in_dim(out, val, start, axis=0)
 
-    out = jax.lax.map(body, Xp[:nfull].reshape(nfull // chunk, chunk, n2))
-    out = out.reshape(nfull, yb_lo.shape[1])
-    if nfull != m:
-        out = jnp.concatenate([out, body(Xp[nfull:])])
-    return out
+    return jax.lax.fori_loop(0, nchunks, body, jnp.zeros((m, k), jnp.float32))
 
 
 def _packed4_ax_chunked(Xp: jax.Array, wb: jax.Array, chunk: int) -> jax.Array:
     """A-direction unpack-einsum over marker chunks: (m, n2) packed codes,
-    (m, K) bf16 weights → (N=2*n2, K) f32 accumulated across chunks."""
+    (m, K) bf16 weights → (N=2*n2, K) f32 accumulated across chunks.
+
+    Same fori_loop-over-dynamic-slices structure as _packed4_atx_chunked
+    (no prefix-copy transient).  Because this direction ACCUMULATES over
+    chunks, the clamped final chunk's overlap rows would double-count —
+    rows the previous chunk already covered get their weights masked to
+    zero instead."""
     m, n2 = Xp.shape
     k = wb.shape[1]
-    nfull = (m // chunk) * chunk
+    nchunks = -(-m // chunk)
 
-    def piece(Xc, wc):
+    def body(i, acc):
+        start = jnp.minimum(i * chunk, m - chunk)
+        Xc = jax.lax.dynamic_slice_in_dim(Xp, start, chunk, axis=0)
+        wc = jax.lax.dynamic_slice_in_dim(wb, start, chunk, axis=0)
+        fresh = (start + jnp.arange(chunk)) >= i * chunk
+        wc = jnp.where(fresh[:, None], wc, jnp.zeros((), wc.dtype))
         lo, hi = unpack_nibbles(Xc)
-        return jnp.concatenate([
+        return acc + jnp.concatenate([
             jnp.einsum("mk,mn->nk", wc, lo, preferred_element_type=jnp.float32),
             jnp.einsum("mk,mn->nk", wc, hi, preferred_element_type=jnp.float32),
         ])
 
-    def body(acc, args):
-        Xc, wc = args
-        return acc + piece(Xc, wc), None
-
-    acc = jnp.zeros((2 * n2, k), jnp.float32)
-    acc, _ = jax.lax.scan(
-        body, acc,
-        (Xp[:nfull].reshape(nfull // chunk, chunk, n2),
-         wb[:nfull].reshape(nfull // chunk, chunk, k)),
-    )
-    if nfull != m:
-        acc = acc + piece(Xp[nfull:], wb[nfull:])
-    return acc
+    return jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((2 * n2, k), jnp.float32))
 
 
 def _mxu_operands(dm: DesignMatrix, w):
