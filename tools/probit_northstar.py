@@ -95,9 +95,12 @@ def main():
     yc = jnp.asarray(y_bin - y_bin.mean(), dtype=dm.wd)
     bhat = np.asarray(jax.device_get(jax.jit(atx)(dm, yc)),
                       dtype=np.float64)[:m]
-    # engine-unit columns: sumsq(A_j) = n-1 exactly (build_design alpha=1)
-    est = estimate_probit_prior(bhat, n, float(y_bin.mean()),
-                                col_sumsq=float(n - 1))
+    # atx output is on the UNIT-COLUMN scale: A_j = (X_j - mu) msig / sqrt(n)
+    # has sumsq (n-1)/n exactly (the estimator's default convention).  The
+    # engine-unit col_sumsq = n-1 applies only to internal-scale b (no 1/sqrt(n)),
+    # and passing it here inflated v0 by ~n: h2_hat pinned to the 1e-4 floor
+    # in the --small smoke (truth 0.8).
+    est = estimate_probit_prior(bhat, n, float(y_bin.mean()))
     lam_hat, h2_hat, var_file = est["lam"], est["h2"], est["var_file"]
     workdir = tempfile.mkdtemp(prefix="probit_northstar_")
     conf_path = os.path.join(workdir, "ns.conf")
