@@ -16,7 +16,8 @@ class NumpyVampOracle:
     def __init__(self, X, y, probs, vars_unscaled, *, gam1, h2, rho,
                  cg_max_iter=500, cg_err_tol=1e-5, em_max_iter=1,
                  em_err_thr=1e-2, learn_vars=1, learn_prior_delay=1,
-                 merge_vars_thr=0.5, stop_criteria_thr=0.01):
+                 merge_vars_thr=0.5, stop_criteria_thr=0.01,
+                 em_h2_budget=0.0):
         self.N, self.M = X.shape
         self.X = np.asarray(X, dtype=np.float64)  # sample-major (N, M)
         self.y = np.asarray(y, dtype=np.float64)
@@ -36,6 +37,7 @@ class NumpyVampOracle:
         self.learn_prior_delay = learn_prior_delay
         self.merge_vars_thr = merge_vars_thr
         self.stop_criteria_thr = stop_criteria_thr
+        self.em_h2_budget = em_h2_budget  # engine: RunConfig.em_h2_budget
         self.gamma_min, self.gamma_max = 1e-11, 1e11
 
     # --- operator ---
@@ -148,6 +150,19 @@ class NumpyVampOracle:
                 else:
                     k += 1
             j += 1
+
+        # truth-free signal-budget projection (engine/linear.py _em_phase):
+        # Var(y)=1 bounds the slab total M*lam*vbar (internal scale) by
+        # N*em_h2_budget; scaling the slab vars back removes the wide-M/N
+        # EM runaway.  0 = off (reference parity).
+        if self.em_h2_budget > 0:
+            total = self.M * sum(
+                p * v for p, v in zip(self.probs[1:], self.vars[1:]))
+            budget = self.N * self.em_h2_budget
+            if total > budget:
+                s = budget / total
+                for j in range(1, len(self.vars)):
+                    self.vars[j] *= s
 
     # --- CG ---
     def cg(self, v, mu_start, tau, gam2, denoiser):

@@ -137,15 +137,17 @@ def test_wait_relay_gate_with_fake_probe(tmp_path):
     qp = _write_queue(tmp_path, stages)
     base = _base_args(tmp_path, qp) + [
         "--wait-relay", "--probe-cmd", probe,
-        "--probe-interval-s", "0.1", "--probe-timeout-s", "5"]
+        "--probe-interval-s", "0.1", "--probe-timeout-s", "60"]
 
-    r_down = _run(base + ["--max-wait-s", "1"])
-    assert r_down.returncode == 75
+    # generous subprocess timeouts: under full-suite load a python -c
+    # probe can take tens of seconds to start (measured flake)
+    r_down = _run(base + ["--max-wait-s", "2"], timeout=300)
+    assert r_down.returncode == 75, r_down.stdout + r_down.stderr
     assert "s" not in _state(tmp_path) if (tmp_path / "state.json").exists() \
         else True
 
     marker.write_text("up")
-    r_up = _run(base + ["--max-wait-s", "30"])
+    r_up = _run(base + ["--max-wait-s", "120"], timeout=300)
     assert r_up.returncode == 0, r_up.stdout + r_up.stderr
     assert _state(tmp_path)["s"]["status"] == "done"
 

@@ -128,11 +128,14 @@ def stream_rowsum(Xq, tm, interpret=False):
 
 
 def _atx_mxu_kernel(y_ref, x_ref, o_ref):
-    # reduce direction on the MXU: bf16 cast is exact for int8 codes
+    # reduce direction on the MXU as a standard (TM, N) @ (N, 1)
+    # contraction — Mosaic rejects the (TM, N) x (1, N) same-dim form
+    # ('vector.broadcast' element-type verification), so the y block is
+    # laid out (N, 1) like the shipped atx_batch kernels
     xb = x_ref[:].astype(jnp.bfloat16)
-    yb = y_ref[:].astype(jnp.bfloat16)  # (1, N)
+    yb = y_ref[:].astype(jnp.bfloat16)  # (N, 1)
     o_ref[:] = jax.lax.dot_general(
-        xb, yb, (((1,), (1,)), ((), ())),
+        xb, yb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -144,7 +147,7 @@ def atx_mxu(Xq, y, tm, interpret=False):
             _atx_mxu_kernel,
             grid=(m // tm,),
             in_specs=[
-                pl.BlockSpec((1, n), lambda i: (0, 0),
+                pl.BlockSpec((n, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tm, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -153,7 +156,7 @@ def atx_mxu(Xq, y, tm, interpret=False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
             interpret=interpret,
-        )(y.astype(jnp.float32).reshape(1, n), Xq)
+        )(y.astype(jnp.float32).reshape(n, 1), Xq)
     return out[:, 0]
 
 

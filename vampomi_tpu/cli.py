@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--num-mix-comp", type=int, default=-1)
     h.add_argument("--learn-vars", type=int, default=1)
     h.add_argument("--learn-prior-delay", type=int, default=1)
+    # beyond-reference: truth-free signal-budget EM stabilizer (0 = off;
+    # 0.9 recommended at M/N >= 16 — see warn_em_stability / DESIGN.md 2b)
+    h.add_argument("--em-h2-budget", type=float, default=0.0)
     h.add_argument("--alpha-scale", type=float, default=1.0)
     h.add_argument("--probit-var", type=float, default=1.0)
     h.add_argument("--rho", type=float, default=0.5)

@@ -53,6 +53,12 @@ class RunConfig:
     num_mix_comp: int = 10   # decorative in the reference too (SURVEY Q6)
     learn_vars: int = 1
     learn_prior_delay: int = 1
+    # truth-free EM stabilizer (beyond-reference): cap the slab's total
+    # second moment at N*em_h2_budget after every EM update — Var(y)=1
+    # implies h2 <= 1, so a budget just under 1 only ever removes the
+    # wide-M/N runaway (engine/linear.py _em_phase).  0 = off (reference
+    # trajectory parity, src/vamp.cpp:531-643).
+    em_h2_budget: float = 0.0
     alpha_scale: float = 1.0
     redglob: int = 0
     probit_var: float = 1.0
@@ -114,3 +120,8 @@ class RunConfig:
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
+
+    def em_signal_budget(self, n: int) -> float:
+        """Internal-scale EM signal budget N*em_h2_budget (prior vars carry
+        the xN scaling, vamp.cpp:87-88); 0.0 disables the projection."""
+        return float(n) * self.em_h2_budget if self.em_h2_budget > 0 else 0.0

@@ -92,16 +92,41 @@ class LinearResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("debug",))
 def _em_phase(dm: DesignMatrix, r1, gam1, prior: MixturePrior,
               em_max_iter, em_err_thr, learn_vars, merge_vars_thr,
-              debug: bool = False):
+              signal_budget, debug: bool = False):
     """EM prior update + component merge, one jitted dispatch
     (reference: src/vamp.cpp:531-643 updatePrior + 627-642 merge).
-    `debug` (static) compiles in the --verbosity 1 per-EM-iteration prints."""
+    `debug` (static) compiles in the --verbosity 1 per-EM-iteration prints.
+
+    `signal_budget` (traced f64 scalar, 0 = off = reference parity) is the
+    truth-free EM stabilizer for wide M/N: under the model the slab's total
+    second moment  mt·λ·v̄ = mt·Σ_{j≥1} p_j v_j  (internal scale, vars ×N)
+    cannot exceed N·h2_max, because the standardized phenotype has unit
+    variance (src/data.cpp:88-103) so h2 ≤ 1.  At M/N ≥ 16 the EM inherited
+    from src/vamp.cpp:531-643 attributes the γ1-miscalibration excess in r1
+    to the slab — λ and v̄ run away together (measured 200× over budget at
+    the EM_STABILITY collapse point) and the trajectory collapses.
+    Rescaling the slab variances back onto the budget after each EM call
+    pins the total while EM keeps allocating sparsity-vs-magnitude freely;
+    measured on the oracle at M/N=32 it turns the collapse (corr 0.17,
+    λ→0.75) into convergence ABOVE the fixed-prior run (0.48 vs 0.38) and
+    is a no-op in regimes where EM is already stable (tools/em_stability.py
+    "budget" mode)."""
     prior = em_update(
         r1, gam1, prior, dm.mmask, dm.mt,
         em_max_iter=em_max_iter, em_err_thr=em_err_thr, learn_vars=learn_vars,
         debug=debug,
     )
-    return merge_components_device(prior, merge_vars_thr)
+    prior = merge_components_device(prior, merge_vars_thr)
+    slab = jnp.logical_and(prior.active, jnp.arange(prior.L) >= 1)
+    total = dm.mt * jnp.sum(jnp.where(slab, prior.probs * prior.vars, 0.0))
+    budget = jnp.asarray(signal_budget, dtype=jnp.float64)
+    over = jnp.logical_and(budget > 0.0, total > budget)
+    scale = jnp.where(over, budget / jnp.where(total > 0.0, total, 1.0), 1.0)
+    return MixturePrior(
+        probs=prior.probs,
+        vars=jnp.where(slab, prior.vars * scale, prior.vars),
+        active=prior.active,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("debug",))
@@ -512,9 +537,11 @@ def warn_em_stability(cfg: RunConfig, mt: int, n: int) -> bool:
         print(
             f"WARNING: EM prior/noise learning is ON at M/N = {mt / n:.0f} "
             "(>= 16), where the EM recursion is measured to collapse "
-            "(EM_STABILITY.json) — consider a Gibbs warm start via "
-            "--init-conf (see scripts/conf_gibbs_init.py), a longer "
-            "--learn-prior-delay, or --learn-vars 0 with known variances",
+            "(EM_STABILITY.json) — consider --em-h2-budget 0.9 (truth-free "
+            "signal-budget stabilizer, tools/em_stability.py 'budget' "
+            "mode), a Gibbs warm start via --init-conf (see "
+            "scripts/conf_gibbs_init.py), a longer --learn-prior-delay, "
+            "or --learn-vars 0 with known variances",
             file=sys.stderr, flush=True,
         )
     return risky
@@ -570,6 +597,7 @@ def _compile_ahead_phases(dm, solver, cfg, n, m_pad, gam1, gamw, rho, ts,
             jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
             jnp.asarray(bool(cfg.learn_vars)),
             jnp.asarray(cfg.merge_vars_thr),
+            jnp.asarray(cfg.em_signal_budget(n), dtype=jnp.float64),
             debug=cfg.verbosity == 1).compile()))
 
     pool = _fut.ThreadPoolExecutor(max_workers=len(items),
@@ -850,6 +878,7 @@ def infere_linear(
                     dm, r1, gam1, prior,
                     jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
                     jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                    jnp.asarray(cfg.em_signal_budget(N), dtype=jnp.float64),
                     debug=cfg.verbosity == 1,
                 )
 

@@ -272,6 +272,7 @@ def _compile_ahead_probit(dm, solver, cfg, n, m_pad, gam1, tau1, gam2,
             jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
             jnp.asarray(bool(cfg.learn_vars)),
             jnp.asarray(cfg.merge_vars_thr),
+            jnp.asarray(cfg.em_signal_budget(n), dtype=jnp.float64),
             debug=cfg.verbosity == 1).compile()))
 
     pool = _fut.ThreadPoolExecutor(max_workers=len(items),
@@ -515,6 +516,7 @@ def infere_bin_class(
                     dm, r1_in, gam1, prior,
                     jnp.asarray(cfg.EM_max_iter), jnp.asarray(cfg.EM_err_thr),
                     jnp.asarray(bool(cfg.learn_vars)), jnp.asarray(cfg.merge_vars_thr),
+                    jnp.asarray(cfg.em_signal_budget(N), dtype=jnp.float64),
                     debug=cfg.verbosity == 1,
                 )
 

@@ -213,19 +213,28 @@ def atx_batch_packed4_raw(Xp: jax.Array, ys: jax.Array, tmk: tuple[int, int],
     # (CPU tests) lacks bf16 dots, so it multiplies in f32
     mul = jnp.float32 if interpret else jnp.bfloat16
     yf = ys.astype(jnp.float32)
-    out = pl.pallas_call(
-        functools.partial(_atx_batch_packed4_kernel, mul_dtype=mul),
-        grid=(m // tm,),
-        in_specs=[
-            pl.BlockSpec((n2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
-        interpret=interpret,
-    )(yf[:n2], yf[n2:], Xp)
+    # enable_x64(False) like every other pallas_call here: under the
+    # package's global x64 the BlockSpec index maps trace to i64 returns,
+    # which Mosaic refuses to legalize ("func.return (i64, i64)" — this
+    # exact kernel killed the round-4/5 int4 probe on the chip; interpret
+    # mode never exercises Mosaic, so only a real-TPU call could catch it)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_atx_batch_packed4_kernel, mul_dtype=mul),
+            grid=(m // tm,),
+            in_specs=[
+                pl.BlockSpec((n2, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n2, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, k), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+            interpret=interpret,
+        )(yf[:n2], yf[n2:], Xp)
     return out
 
 
