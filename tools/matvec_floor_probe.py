@@ -86,7 +86,11 @@ def _stream_sum_kernel(x_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[0, 0] += jnp.sum(x_ref[:].astype(jnp.int32))
+    # dtype pinned: under the package's global x64, jnp.sum(int32) promotes
+    # its accumulator to int64 and Mosaic refuses the kernel on the chip
+    # (same footgun as ops/pallas_matvec.py's enable_x64(False) wrapper —
+    # the kernel jaxpr is lowered outside that context)
+    o_ref[0, 0] += jnp.sum(x_ref[:].astype(jnp.int32), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "interpret"))
@@ -108,7 +112,8 @@ def stream_sum(Xq, tm, interpret=False):
 def _stream_rowsum_kernel(x_ref, o_ref):
     # same bytes, but the output is (TM, 1) like the reduce matvec's —
     # isolates whether the atx kernel's cost is the write pattern
-    o_ref[:] = jnp.sum(x_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+    o_ref[:] = jnp.sum(x_ref[:].astype(jnp.int32), axis=1, keepdims=True,
+                       dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "interpret"))
@@ -238,10 +243,14 @@ def main():
     rel = np.max(np.abs(got_ax - ref_ax)) / np.max(np.abs(ref_ax))
     log(f"ax_mxu relerr {rel:.2e}")
     assert rel < 5e-2
+    # references accumulate in int32 to match the kernels' pinned dtype
+    # (identical wraparound semantics; the expected |sum| at these shapes
+    # is ~1e6, nowhere near 2^31)
     ssum = int(np.asarray(stream_sum(Xq[:ms], 256, interpret=interp))[0, 0])
-    assert ssum == int(np.sum(np.asarray(Xq[:ms], dtype=np.int64)))
+    assert ssum == int(np.sum(np.asarray(Xq[:ms], np.int32), dtype=np.int32))
     rsum = np.asarray(stream_rowsum(Xq[:ms], 256, interpret=interp))[:, 0]
-    assert (rsum == np.sum(np.asarray(Xq[:ms], np.int64), axis=1)).all()
+    assert (rsum == np.sum(np.asarray(Xq[:ms], np.int32), axis=1,
+                           dtype=np.int32)).all()
     log("probe kernels correct")
 
     if SMALL:
